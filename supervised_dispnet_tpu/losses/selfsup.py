@@ -1,0 +1,120 @@
+"""Self-supervised losses: photometric inverse-warp, explainability,
+second-order smoothness.
+
+Rebuild of the reference's SfmLearner-lineage losses (reference:
+``loss_functions.py::{photometric_reconstruction_loss, explainability_loss,
+smooth_loss}``). Multi-scale, multi-reference-frame; the image pyramid is
+2x average pooling, intrinsics are rescaled per scale, and the loss means
+run over all pixels with invalid (out-of-view) diffs zeroed — matching the
+reference's normalization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from supervised_dispnet_tpu.ops.resize import downsample2x_avg
+from supervised_dispnet_tpu.ops.warp import inverse_warp
+
+
+def _scale_intrinsics(intrinsics: jax.Array, factor: float) -> jax.Array:
+    """Scale fx, fy, cx, cy by ``factor`` (downsampled image plane)."""
+    scale = jnp.array(
+        [[factor, 1.0, factor], [1.0, factor, factor], [1.0, 1.0, 1.0]],
+        dtype=intrinsics.dtype,
+    )
+    return intrinsics * scale
+
+
+def photometric_reconstruction_loss(
+    tgt_img: jax.Array,
+    ref_imgs: list[jax.Array],
+    intrinsics: jax.Array,
+    depths: list[jax.Array],
+    explainability_masks: list[jax.Array] | None,
+    pose: jax.Array,
+    rotation_mode: str = "euler",
+    padding_mode: str = "zeros",
+) -> tuple[jax.Array, list[jax.Array]]:
+    """Multi-scale photometric L1 between target and inverse-warped refs.
+
+    Args:
+      tgt_img: (B, H, W, 3) target frame.
+      ref_imgs: list of (B, H, W, 3) reference frames (len = seq_len - 1).
+      intrinsics: (B, 3, 3) at full resolution.
+      depths: per-scale target depths [(B, H/2^s, W/2^s)], finest first.
+      explainability_masks: per-scale (B, h, w, num_refs) sigmoid masks or
+        None.
+      pose: (B, num_refs, 6) target->ref pose vectors.
+
+    Returns:
+      (loss, warped_results): scalar loss and the finest-scale warped images
+      (for logging, reference: tensorboard warp images in ``train.py``).
+    (reference: ``loss_functions.py::photometric_reconstruction_loss``)
+    """
+    total = jnp.float32(0.0)
+    warped_log: list[jax.Array] = []
+    tgt_s = tgt_img
+    refs_s = list(ref_imgs)
+    for s, depth in enumerate(depths):
+        if s > 0:
+            tgt_s = downsample2x_avg(tgt_s)
+            refs_s = [downsample2x_avg(r) for r in refs_s]
+        K_s = _scale_intrinsics(intrinsics, 1.0 / (2**s))
+        for r, ref in enumerate(refs_s):
+            warped, valid = inverse_warp(
+                ref, depth, pose[:, r], K_s,
+                rotation_mode=rotation_mode, padding_mode=padding_mode,
+            )
+            diff = (tgt_s - warped) * valid[..., None].astype(tgt_s.dtype)
+            if explainability_masks is not None:
+                diff = diff * explainability_masks[s][..., r : r + 1]
+            total = total + jnp.abs(diff).mean()
+            if s == 0:
+                warped_log.append(warped)
+    return total, warped_log
+
+
+def explainability_loss(masks: list[jax.Array]) -> jax.Array:
+    """BCE of each mask toward 1 — regularizes masks from collapsing to 0.
+
+    masks: per-scale (B, h, w, num_refs) sigmoid outputs.
+    (reference: ``loss_functions.py::explainability_loss``)
+    """
+    total = jnp.float32(0.0)
+    for m in masks:
+        m32 = jnp.clip(m.astype(jnp.float32), 1e-6, 1.0)
+        total = total + (-jnp.log(m32)).mean()
+    return total
+
+
+def _gradient(pred: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Forward-difference spatial gradients of (B, H, W) maps."""
+    d_dx = pred[:, :, 1:] - pred[:, :, :-1]
+    d_dy = pred[:, 1:, :] - pred[:, :-1, :]
+    return d_dx, d_dy
+
+
+def smooth_loss(pred_maps: list[jax.Array], scale_decay: float = 2.3) -> jax.Array:
+    """Second-order gradient penalty over multi-scale disparity maps, with
+    per-scale weight decaying by ``scale_decay``.
+
+    (reference: ``loss_functions.py::smooth_loss``)
+    """
+    total = jnp.float32(0.0)
+    weight = 1.0
+    for pred in pred_maps:
+        if pred.ndim == 4:
+            pred = pred[..., 0]
+        dx, dy = _gradient(pred)
+        dx2, dxdy = _gradient(dx)
+        dydx, dy2 = _gradient(dy)
+        total = total + weight * (
+            jnp.abs(dx2).mean()
+            + jnp.abs(dxdy).mean()
+            + jnp.abs(dydx).mean()
+            + jnp.abs(dy2).mean()
+        )
+        weight /= scale_decay
+    return total

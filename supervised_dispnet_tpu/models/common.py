@@ -1,0 +1,96 @@
+"""Shared model building blocks (flax.linen, NHWC).
+
+Conv blocks mirror the reference's conv+ELU vocabulary (reference:
+``models/DispNetS.py::{downsample_conv, conv, upconv, predict_disp}``) but
+are NHWC/HWIO so XLA tiles them straight onto the MXU; weights are
+xavier-uniform like the reference's ``init_weights``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# Disparity head output scaling (reference: DispNetS alpha/beta constants).
+DISP_ALPHA = 10.0
+DISP_BETA = 0.01
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class ConvELU(nn.Module):
+    """3x3 (or kxk) conv + ELU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((self.kernel - 1) // 2, (self.kernel - 1) // 2),
+            kernel_init=xavier_uniform,
+        )(x)
+        return nn.elu(x)
+
+
+class DownsampleConv(nn.Module):
+    """stride-2 conv + ELU, then stride-1 conv + ELU.
+
+    (reference: ``models/DispNetS.py::downsample_conv``)
+    """
+
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvELU(self.features, self.kernel, stride=2)(x)
+        x = ConvELU(self.features, self.kernel, stride=1)(x)
+        return x
+
+
+class UpConvELU(nn.Module):
+    """2x transposed-conv upsample + ELU.
+
+    (reference: ``models/DispNetS.py::upconv`` — ConvTranspose2d(k=3, s=2))
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            self.features,
+            (3, 3),
+            strides=(2, 2),
+            padding="SAME",
+            kernel_init=xavier_uniform,
+        )(x)
+        return nn.elu(x)
+
+
+class DispHead(nn.Module):
+    """3x3 conv -> sigmoid -> alpha * s + beta disparity head.
+
+    (reference: ``models/DispNetS.py::predict_disp``)
+    """
+
+    alpha: float = DISP_ALPHA
+    beta: float = DISP_BETA
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(1, (3, 3), padding=1, kernel_init=xavier_uniform)(x)
+        return self.alpha * nn.sigmoid(x) + self.beta
+
+
+def crop_like(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Crop spatial dims of x down to ref's (deconv overshoot on odd sizes)."""
+    return x[:, : ref.shape[1], : ref.shape[2], :]

@@ -1,0 +1,75 @@
+"""VGG16-BN disparity network — the paper's encoder ablation variant.
+
+Rebuild of the reference's VGG variant (reference: ``models/disp_vgg_BN.py``):
+VGG16-BN convolutional encoder (torchvision-compatible stage widths so
+checkpoints convert), DispNet-style decoder with skip-concat and 4
+multi-scale disparity heads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from supervised_dispnet_tpu.models.common import DispHead, xavier_uniform
+from supervised_dispnet_tpu.ops.resize import resize_bilinear
+
+# VGG16: conv widths per stage (two or three 3x3 convs then 2x2 maxpool)
+VGG16_STAGES = ((64, 64), (128, 128), (256, 256, 256), (512, 512, 512), (512, 512, 512))
+DEC_PLANES = (16, 32, 64, 128, 256)
+
+
+class _VGGStage(nn.Module):
+    widths: tuple
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, w in enumerate(self.widths):
+            x = nn.Conv(w, (3, 3), padding=1, kernel_init=xavier_uniform, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class DispVggBN(nn.Module):
+    """__call__(x, train) -> [disp1..disp4] finest first."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        feats = []
+        h = x
+        for s, widths in enumerate(VGG16_STAGES):
+            h = _VGGStage(widths, name=f"stage{s}")(h, train=train)
+            feats.append(h)  # strides 1, 2, 4, 8, 16 (pre-pool)
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        # bottleneck at stride 32
+        bottleneck = h
+
+        def up_block(h, skip, planes, name):
+            h = nn.Conv(planes, (3, 3), padding=1, kernel_init=xavier_uniform,
+                        name=f"{name}_0")(h)
+            h = nn.elu(h)
+            h = resize_bilinear(h, skip.shape[1], skip.shape[2])
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = nn.Conv(planes, (3, 3), padding=1, kernel_init=xavier_uniform,
+                        name=f"{name}_1")(h)
+            return nn.elu(h)
+
+        h = up_block(bottleneck, feats[4], DEC_PLANES[4], "up4")
+        h = up_block(h, feats[3], DEC_PLANES[3], "up3")
+        d4 = h  # stride 8
+        h = up_block(h, feats[2], DEC_PLANES[2], "up2")
+        d3 = h  # stride 4
+        h = up_block(h, feats[1], DEC_PLANES[1], "up1")
+        d2 = h  # stride 2
+        h = up_block(h, feats[0], DEC_PLANES[0], "up0")
+        d1 = h  # full
+
+        return [
+            DispHead(name="disp_head0")(d1),
+            DispHead(name="disp_head1")(d2),
+            DispHead(name="disp_head2")(d3),
+            DispHead(name="disp_head3")(d4),
+        ]

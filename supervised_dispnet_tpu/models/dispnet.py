@@ -1,0 +1,79 @@
+"""DispNetS — conv+ELU encoder-decoder with skip-concat and 4 multi-scale
+sigmoid-scaled disparity heads.
+
+TPU-native rebuild of the reference architecture (reference:
+``models/DispNetS.py::DispNetS``): 7-stage encoder (32..512 channels,
+kernels 7/5/3...), transposed-conv decoder, skip concatenation, and
+disparity predicted at 1/1, 1/2, 1/4, 1/8 scale; coarser disparities are
+upsampled and fed into the next decoder stage.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from supervised_dispnet_tpu.models.common import (
+    ConvELU,
+    DownsampleConv,
+    UpConvELU,
+    DispHead,
+    crop_like,
+    xavier_uniform,
+)
+from supervised_dispnet_tpu.ops.resize import resize_bilinear
+
+ENC_PLANES = (32, 64, 128, 256, 512, 512, 512)
+DEC_PLANES = (512, 512, 256, 128, 64, 32, 16)
+ENC_KERNELS = (7, 5, 3, 3, 3, 3, 3)
+
+
+class DispNetS(nn.Module):
+    """Returns [disp1, disp2, disp3, disp4] (finest first), each
+    (B, H/2^s, W/2^s, 1)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        # ---- encoder ----
+        feats = []
+        h = x
+        for planes, k in zip(ENC_PLANES, ENC_KERNELS):
+            h = DownsampleConv(planes, k)(h)
+            feats.append(h)
+        c1, c2, c3, c4, c5, c6, c7 = feats
+
+        # ---- decoder ----
+        def iconv(features, *parts):
+            cat = jnp.concatenate(parts, axis=-1)
+            return ConvELU(features)(cat)
+
+        u7 = crop_like(UpConvELU(DEC_PLANES[0])(c7), c6)
+        i7 = iconv(DEC_PLANES[0], u7, c6)
+
+        u6 = crop_like(UpConvELU(DEC_PLANES[1])(i7), c5)
+        i6 = iconv(DEC_PLANES[1], u6, c5)
+
+        u5 = crop_like(UpConvELU(DEC_PLANES[2])(i6), c4)
+        i5 = iconv(DEC_PLANES[2], u5, c4)
+
+        u4 = crop_like(UpConvELU(DEC_PLANES[3])(i5), c3)
+        i4 = iconv(DEC_PLANES[3], u4, c3)
+        disp4 = DispHead()(i4)
+
+        u3 = crop_like(UpConvELU(DEC_PLANES[4])(i4), c2)
+        d4up = crop_like(resize_bilinear(disp4, c2.shape[1], c2.shape[2]), c2)
+        i3 = iconv(DEC_PLANES[4], u3, c2, d4up)
+        disp3 = DispHead()(i3)
+
+        u2 = crop_like(UpConvELU(DEC_PLANES[5])(i3), c1)
+        d3up = crop_like(resize_bilinear(disp3, c1.shape[1], c1.shape[2]), c1)
+        i2 = iconv(DEC_PLANES[5], u2, c1, d3up)
+        disp2 = DispHead()(i2)
+
+        u1 = crop_like(UpConvELU(DEC_PLANES[6])(i2), x)
+        d2up = crop_like(resize_bilinear(disp2, x.shape[1], x.shape[2]), x)
+        i1 = iconv(DEC_PLANES[6], u1, d2up)
+        disp1 = DispHead()(i1)
+
+        return [disp1, disp2, disp3, disp4]

@@ -1,0 +1,76 @@
+"""DispResNet — ResNet-18/50 encoder + upsample-conv decoder with
+skip-concat and multi-scale disparity heads, plus the depth-as-
+classification head variant.
+
+Rebuild of the reference's best-performing family (reference:
+``models/DispResNet.py`` / ``models/Disp_res.py``): encoder features at
+strides 2..32, decoder stages that (conv+ELU -> 2x upsample -> skip concat
+-> conv+ELU), disparity heads at 1/1, 1/2, 1/4, 1/8 scale. The
+classification variant replaces the sigmoid disparity heads with per-pixel
+bin-logit heads decoded by softmax-weighted sum (WACV 2020 paper config).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from supervised_dispnet_tpu.models.common import DispHead, xavier_uniform
+from supervised_dispnet_tpu.models.resnet import ResNetEncoder, RESNET_SPECS
+from supervised_dispnet_tpu.ops.resize import resize_bilinear
+
+DEC_PLANES = (16, 32, 64, 128, 256)
+
+
+class _ConvELU3(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding=1, kernel_init=xavier_uniform)(x)
+        return nn.elu(x)
+
+
+class DispResNet(nn.Module):
+    """__call__(x, train) ->
+      head='disp':  [disp1, disp2, disp3, disp4] finest first.
+      head='classification': (B, H, W, num_bins) logits at full resolution
+        (decode with losses.classification.logits_to_depth).
+    """
+
+    encoder_depth: int = 18
+    head: str = "disp"  # 'disp' | 'classification'
+    num_bins: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        enc = ResNetEncoder(self.encoder_depth, name="encoder")(x, train=train)
+        # enc: strides [2, 4, 8, 16, 32]
+
+        outputs_feats = {}
+        h = enc[-1]
+        for i in range(4, -1, -1):
+            h = _ConvELU3(DEC_PLANES[i], name=f"upconv{i}_0")(h)
+            # upsample 2x (bilinear; the reference decoder upsamples with
+            # interpolate)
+            if i > 0:
+                target = enc[i - 1]
+                h = resize_bilinear(h, target.shape[1], target.shape[2])
+                h = jnp.concatenate([h, target], axis=-1)
+            else:
+                h = resize_bilinear(h, x.shape[1], x.shape[2])
+            h = _ConvELU3(DEC_PLANES[i], name=f"upconv{i}_1")(h)
+            outputs_feats[i] = h
+
+        if self.head == "classification":
+            logits = nn.Conv(
+                self.num_bins, (3, 3), padding=1,
+                kernel_init=xavier_uniform, name="bin_head",
+            )(outputs_feats[0])
+            return logits
+
+        disps = []
+        for s in range(4):  # scales 1/1, 1/2, 1/4, 1/8
+            disps.append(DispHead(name=f"disp_head{s}")(outputs_feats[s]))
+        return disps

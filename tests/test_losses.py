@@ -1,0 +1,174 @@
+"""Golden-value tests for losses vs torch/numpy implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from supervised_dispnet_tpu.losses import (
+    l1_loss, berhu_loss, scale_invariant_loss, multiscale_supervised_loss,
+    DepthBins, depth_classification_loss, logits_to_depth,
+    photometric_reconstruction_loss, explainability_loss, smooth_loss,
+    compute_errors,
+)
+
+
+def _depth_pair(B=2, H=12, W=16, seed=0):
+    rng = np.random.default_rng(seed)
+    gt = rng.uniform(1.0, 60.0, (B, H, W)).astype(np.float32)
+    pred = gt * rng.uniform(0.7, 1.4, (B, H, W)).astype(np.float32)
+    mask = (rng.uniform(size=(B, H, W)) > 0.6)  # sparse like LiDAR
+    return gt, pred, mask
+
+
+def test_l1_masked():
+    gt, pred, mask = _depth_pair()
+    ours = float(l1_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    ref = np.abs(pred - gt)[mask].mean()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_berhu_matches_manual():
+    gt, pred, mask = _depth_pair(seed=1)
+    ours = float(berhu_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    d = (pred - gt) * mask
+    c = 0.2 * np.abs(d).max()
+    absd = np.abs(d)
+    per = np.where(absd <= c, absd, (d * d + c * c) / (2 * c))
+    ref = per[mask].mean()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_scale_invariant_matches_manual():
+    gt, pred, mask = _depth_pair(seed=2)
+    ours = float(scale_invariant_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    d = (np.log(pred) - np.log(gt))[mask]
+    ref = (d ** 2).mean() - 0.5 * d.mean() ** 2
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_scale_invariant_is_scale_invariant():
+    gt, pred, mask = _depth_pair(seed=3)
+    a = float(scale_invariant_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask), lam=1.0))
+    b = float(scale_invariant_loss(jnp.asarray(pred * 3.7), jnp.asarray(gt), jnp.asarray(mask), lam=1.0))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_classification_ce_matches_torch():
+    B, H, W, K = 2, 8, 10, 32
+    bins = DepthBins(num_bins=K, min_depth=1.0, max_depth=80.0, spacing="log")
+    rng = np.random.default_rng(4)
+    logits = rng.standard_normal((B, H, W, K)).astype(np.float32)
+    gt = rng.uniform(1.0, 80.0, (B, H, W)).astype(np.float32)
+    mask = rng.uniform(size=(B, H, W)) > 0.5
+
+    ours = float(depth_classification_loss(
+        jnp.asarray(logits), jnp.asarray(gt), jnp.asarray(mask), bins))
+
+    labels = np.asarray(bins.depth_to_index(jnp.asarray(gt)))
+    t_logits = torch.from_numpy(logits).reshape(-1, K)
+    t_labels = torch.from_numpy(labels).reshape(-1).long()
+    t_mask = torch.from_numpy(mask).reshape(-1)
+    ce = F.cross_entropy(t_logits[t_mask], t_labels[t_mask])
+    np.testing.assert_allclose(ours, float(ce), rtol=1e-5)
+
+
+def test_soft_decode_recovers_bin_center():
+    bins = DepthBins(num_bins=16, min_depth=1.0, max_depth=80.0, spacing="log")
+    centers = np.asarray(bins.centers())
+    logits = np.full((1, 2, 2, 16), -30.0, dtype=np.float32)
+    logits[..., 5] = 30.0
+    depth = np.asarray(logits_to_depth(jnp.asarray(logits), bins))
+    np.testing.assert_allclose(depth, centers[5], rtol=1e-4)
+
+
+def test_depth_to_index_roundtrip_monotone():
+    bins = DepthBins(num_bins=64, spacing="log")
+    d = jnp.linspace(1.0, 80.0, 500)
+    idx = np.asarray(bins.depth_to_index(d))
+    assert (np.diff(idx) >= 0).all()
+    assert idx.min() == 0 and idx.max() == 63
+    # centers land inside their own bin
+    c = bins.centers()
+    ci = np.asarray(bins.depth_to_index(c))
+    np.testing.assert_array_equal(ci, np.arange(64))
+
+
+def test_compute_errors_matches_numpy_reference():
+    gt, pred, mask = _depth_pair(seed=5)
+    out = {k: float(v) for k, v in compute_errors(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(mask)).items()}
+    g, p = gt[mask], pred[mask]
+    thresh = np.maximum(g / p, p / g)
+    np.testing.assert_allclose(out["a1"], (thresh < 1.25).mean(), rtol=1e-5)
+    np.testing.assert_allclose(out["a2"], (thresh < 1.25**2).mean(), rtol=1e-5)
+    np.testing.assert_allclose(out["a3"], (thresh < 1.25**3).mean(), rtol=1e-5)
+    np.testing.assert_allclose(out["abs_rel"], (np.abs(g - p) / g).mean(), rtol=1e-5)
+    np.testing.assert_allclose(out["sq_rel"], ((g - p) ** 2 / g).mean(), rtol=1e-5)
+    np.testing.assert_allclose(out["rmse"], np.sqrt(((g - p) ** 2).mean()), rtol=1e-5)
+    np.testing.assert_allclose(
+        out["rmse_log"], np.sqrt(((np.log(g) - np.log(p)) ** 2).mean()), rtol=1e-4)
+
+
+def test_smooth_loss_matches_torch_impl():
+    rng = np.random.default_rng(6)
+    maps = [rng.standard_normal((2, 16 // 2**s, 24 // 2**s)).astype(np.float32) for s in range(3)]
+    ours = float(smooth_loss([jnp.asarray(m) for m in maps]))
+
+    def t_gradient(pred):
+        d_dy = pred[:, 1:] - pred[:, :-1]
+        d_dx = pred[:, :, 1:] - pred[:, :, :-1]
+        return d_dx, d_dy
+
+    loss, weight = 0.0, 1.0
+    for m in maps:
+        t = torch.from_numpy(m)
+        dx, dy = t_gradient(t)
+        dx2, dxdy = t_gradient(dx)
+        dydx, dy2 = t_gradient(dy)
+        loss += float(dx2.abs().mean() + dxdy.abs().mean() + dydx.abs().mean() + dy2.abs().mean()) * weight
+        weight /= 2.3
+    np.testing.assert_allclose(ours, loss, rtol=1e-5)
+
+
+def test_explainability_loss_golden():
+    m = [jnp.full((1, 4, 4, 2), 0.5)]
+    ours = float(explainability_loss(m))
+    np.testing.assert_allclose(ours, np.log(2.0), rtol=1e-5)
+
+
+def test_photometric_zero_for_identity():
+    """Same image, zero pose, correct depth -> near-zero photometric loss."""
+    B, H, W = 1, 16, 32
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    K = np.array([[[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]]], dtype=np.float32)
+    depths = [jnp.full((B, H // 2**s, W // 2**s), 5.0) for s in range(3)]
+    pose = np.zeros((B, 1, 6), dtype=np.float32)
+    loss, warped = photometric_reconstruction_loss(
+        jnp.asarray(img), [jnp.asarray(img)], jnp.asarray(K),
+        depths, None, jnp.asarray(pose))
+    assert float(loss) < 1e-4
+    assert warped[0].shape == (B, H, W, 3)
+
+
+def test_photometric_nonzero_for_shifted():
+    B, H, W = 1, 16, 32
+    rng = np.random.default_rng(8)
+    img = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    K = np.array([[[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]]], dtype=np.float32)
+    depths = [jnp.full((B, H, W), 5.0)]
+    pose = np.zeros((B, 1, 6), dtype=np.float32)
+    pose[0, 0, 0] = 0.5
+    loss, _ = photometric_reconstruction_loss(
+        jnp.asarray(img), [jnp.asarray(img)], jnp.asarray(K),
+        depths, None, jnp.asarray(pose))
+    assert float(loss) > 1e-2
+
+
+def test_multiscale_supervised_loss_runs():
+    gt, pred, mask = _depth_pair(B=1, H=16, W=32, seed=9)
+    preds = [jnp.asarray(pred[:, ::2**s, ::2**s]) for s in range(4)]
+    out = float(multiscale_supervised_loss(
+        preds, jnp.asarray(gt), jnp.asarray(mask), l1_loss))
+    assert np.isfinite(out) and out > 0

@@ -115,7 +115,7 @@ def test_inverse_warp_rotation_modes_agree_small_angles():
     depth = rng.uniform(3, 8, (B, H, W)).astype(np.float32)
     K = _intrinsics(B, cx=W / 2, cy=H / 2)
     # small rotation: euler ~ 2 * quat imaginary part
-    r = np.array([0.01, -0.02, 0.015], dtype=np.float32)
+    r = np.array([0.002, -0.004, 0.003], dtype=np.float32)
     pose_e = np.concatenate([[0.1, 0, 0], r]).astype(np.float32)[None]
     pose_q = np.concatenate([[0.1, 0, 0], r / 2]).astype(np.float32)[None]
     we, _ = inverse_warp(jnp.asarray(img), jnp.asarray(depth), jnp.asarray(pose_e), jnp.asarray(K), rotation_mode="euler")
