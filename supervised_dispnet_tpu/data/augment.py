@@ -1,0 +1,166 @@
+"""Fused on-device augmentation (the TPU rebuild of the reference's
+``custom_transforms.py``).
+
+The reference augments on host CPU in DataLoader workers
+(reference: ``custom_transforms.py::{RandomHorizontalFlip, RandomScaleCrop,
+ColorJitter-equivalent, Normalize, ArrayToTensor}``). Here the whole chain
+is ONE jitted device stage fused into the train step:
+
+- Random horizontal flip and RandomScaleCrop (scale in [1, 1.15], crop back
+  to the original size, intrinsics rescaled accordingly) collapse into a
+  single affine coordinate map executed as one bilinear gather per frame —
+  no intermediate resized image is ever materialized.
+- Color jitter (brightness/contrast/saturation, shared across the snippet)
+  and normalization are elementwise VPU work XLA fuses into the same pass.
+- Sparse GT depth rides the same coordinate map with nearest-neighbor taps
+  (bilinear would bleed zeros into the sparse LiDAR points).
+
+Everything is static-shape; randomness comes from explicit jax.random keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from supervised_dispnet_tpu.ops.sampling import bilinear_sample
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+HALF_MEAN = (0.5, 0.5, 0.5)
+HALF_STD = (0.5, 0.5, 0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    flip: bool = True
+    scale_crop: bool = True
+    max_scale: float = 1.15
+    color_jitter: bool = True
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    # reference default is 0.5/0.5 normalization; --imagenet-normalization
+    # switches to ImageNet stats (reference: train.py flag)
+    mean: tuple[float, float, float] = HALF_MEAN
+    std: tuple[float, float, float] = HALF_STD
+
+
+def _nearest_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Nearest-neighbor sampling with zero padding (for sparse depth)."""
+    B, H, W, C = img.shape
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+    xi = jnp.clip(xi, 0, W - 1)
+    yi = jnp.clip(yi, 0, H - 1)
+    flat = img.reshape(B, H * W, C)
+    idx = (yi * W + xi).reshape(B, -1)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(*xi.shape, C)
+    return out * inb[..., None].astype(img.dtype)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def augment_batch(
+    key: jax.Array,
+    imgs: jax.Array,
+    intrinsics: jax.Array,
+    depth: jax.Array | None = None,
+    config: AugmentConfig = AugmentConfig(),
+):
+    """Augment a batch of snippets on device.
+
+    Args:
+      key: PRNG key.
+      imgs: (B, S, H, W, 3) float in [0, 1] — S frames per snippet (S=1 for
+        supervised single-frame training).
+      intrinsics: (B, 3, 3).
+      depth: optional (B, H, W) sparse GT depth (zeros = missing),
+        geometrically transformed alongside the images.
+
+    Returns:
+      (imgs, intrinsics[, depth]) with imgs normalized; same shapes.
+    """
+    B, S, H, W, _ = imgs.shape
+    k_scale, k_ox, k_oy, k_flip, k_b, k_c, k_s = jax.random.split(key, 7)
+    f32 = jnp.float32
+
+    if config.scale_crop:
+        scale = jax.random.uniform(k_scale, (B,), f32, 1.0, config.max_scale)
+    else:
+        scale = jnp.ones((B,), f32)
+    # crop offset within the up-scaled image: [0, (s-1) * dim]
+    ox = jax.random.uniform(k_ox, (B,), f32) * (scale - 1.0) * W
+    oy = jax.random.uniform(k_oy, (B,), f32) * (scale - 1.0) * H
+    if config.flip:
+        do_flip = jax.random.bernoulli(k_flip, 0.5, (B,))
+    else:
+        do_flip = jnp.zeros((B,), bool)
+
+    # output pixel (i, j) samples source at ((oy + i) / s, (ox + j) / s);
+    # flip mirrors the output x axis first
+    jj = jax.lax.broadcasted_iota(f32, (H, W), 1)
+    ii = jax.lax.broadcasted_iota(f32, (H, W), 0)
+    jj = jnp.where(do_flip[:, None, None], (W - 1.0) - jj[None], jj[None])  # (B, H, W)
+    ii = jnp.broadcast_to(ii[None], (B, H, W))
+    xs = (jj + ox[:, None, None]) / scale[:, None, None]
+    ys = (ii + oy[:, None, None]) / scale[:, None, None]
+
+    # one gather per frame; frames share the snippet's geometric transform
+    flat_imgs = imgs.reshape(B * S, H, W, 3)
+    xs_r = jnp.repeat(xs, S, axis=0)
+    ys_r = jnp.repeat(ys, S, axis=0)
+    out = bilinear_sample(flat_imgs, xs_r, ys_r, padding_mode="border")
+    out = out.reshape(B, S, H, W, 3)
+
+    # intrinsics: scale then crop then flip
+    # (reference: custom_transforms.py::RandomScaleCrop intrinsics rescale)
+    fx = intrinsics[:, 0, 0] * scale
+    fy = intrinsics[:, 1, 1] * scale
+    cx = intrinsics[:, 0, 2] * scale - ox
+    cy = intrinsics[:, 1, 2] * scale - oy
+    cx = jnp.where(do_flip, (W - 1.0) - cx, cx)
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    new_K = jnp.stack(
+        [fx, zeros, cx, zeros, fy, cy, zeros, zeros, ones], axis=-1
+    ).reshape(B, 3, 3)
+
+    if config.color_jitter:
+        b = jax.random.uniform(k_b, (B, 1, 1, 1, 1), f32,
+                               1.0 - config.brightness, 1.0 + config.brightness)
+        c = jax.random.uniform(k_c, (B, 1, 1, 1, 1), f32,
+                               1.0 - config.contrast, 1.0 + config.contrast)
+        s = jax.random.uniform(k_s, (B, 1, 1, 1, 1), f32,
+                               1.0 - config.saturation, 1.0 + config.saturation)
+        out = jnp.clip(out * b, 0.0, 1.0)
+        mean_px = out.mean(axis=(2, 3, 4), keepdims=True)
+        out = jnp.clip((out - mean_px) * c + mean_px, 0.0, 1.0)
+        gray = (
+            0.299 * out[..., 0:1] + 0.587 * out[..., 1:2] + 0.114 * out[..., 2:3]
+        )
+        out = jnp.clip((out - gray) * s + gray, 0.0, 1.0)
+
+    mean = jnp.asarray(config.mean, f32)
+    std = jnp.asarray(config.std, f32)
+    out = (out - mean) / std
+
+    if depth is None:
+        return out, new_K
+    d = _nearest_sample(depth[..., None], xs, ys)[..., 0]
+    return out, new_K, d
+
+
+@partial(jax.jit, static_argnames=("mean", "std"))
+def normalize_images(
+    imgs: jax.Array,
+    mean: tuple[float, float, float] = HALF_MEAN,
+    std: tuple[float, float, float] = HALF_STD,
+) -> jax.Array:
+    """Eval-time normalization only (no augmentation)."""
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    return (imgs - m) / s

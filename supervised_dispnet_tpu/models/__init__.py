@@ -1,0 +1,50 @@
+"""Model registry (reference: ``models/__init__.py`` + the ``--network``
+flag dispatch in ``train.py``/``test_disp.py``)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+
+from supervised_dispnet_tpu.models.dispnet import DispNetS
+from supervised_dispnet_tpu.models.dispresnet import DispResNet
+from supervised_dispnet_tpu.models.disp_vgg_bn import DispVggBN
+from supervised_dispnet_tpu.models.fcrn import FCRN
+from supervised_dispnet_tpu.models.posenet import PoseExpNet, PoseNet
+from supervised_dispnet_tpu.models.resnet import ResNetEncoder
+
+# --network flag values mirroring the reference CLI
+_REGISTRY = {
+    "dispnet": lambda **kw: DispNetS(),
+    "disp_res": lambda **kw: DispResNet(encoder_depth=18, **kw),
+    "disp_res_18": lambda **kw: DispResNet(encoder_depth=18, **kw),
+    "disp_res_50": lambda **kw: DispResNet(encoder_depth=50, **kw),
+    "disp_vgg_bn": lambda **kw: DispVggBN(),
+    "fcrn": lambda **kw: FCRN(),
+}
+
+
+def get_disp_net(name: str, head: str = "disp", num_bins: int = 64) -> nn.Module:
+    """Build a disparity/depth network by its ``--network`` name."""
+    key = name.lower()
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown network {name!r}; choices: {sorted(_REGISTRY)}")
+    kw: dict[str, Any] = {}
+    if key.startswith("disp_res"):
+        kw = {"head": head, "num_bins": num_bins}
+    elif head != "disp":
+        raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
+    return _REGISTRY[key](**kw)
+
+
+__all__ = [
+    "DispNetS",
+    "DispResNet",
+    "DispVggBN",
+    "FCRN",
+    "PoseExpNet",
+    "PoseNet",
+    "ResNetEncoder",
+    "get_disp_net",
+]

@@ -1,0 +1,298 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+The TPU rebuild of the reference's per-batch loop (reference:
+``train.py::train`` — forward, loss, backward, Adam step). One fused XLA
+program per step: on-device augmentation + forward + loss + grad + Adam
+update, with the batch sharded over the data mesh and gradients reduced by
+XLA collectives over ICI. Buffers are donated so params update in place.
+
+Supervised losses: l1 | berhu | scale_invariant | classification
+(reference: the training loss selector flag). Self-supervised: photometric
++ explainability + smoothness with PoseExpNet
+(reference: ``train.py`` self-sup path, BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from supervised_dispnet_tpu.data.augment import AugmentConfig, augment_batch
+from supervised_dispnet_tpu.losses import (
+    berhu_loss,
+    depth_classification_loss,
+    explainability_loss,
+    l1_loss,
+    multiscale_supervised_loss,
+    photometric_reconstruction_loss,
+    scale_invariant_loss,
+    smooth_loss,
+    compute_errors,
+    logits_to_depth,
+)
+from supervised_dispnet_tpu.losses.classification import DepthBins
+from supervised_dispnet_tpu.parallel.mesh import DATA_AXIS
+
+
+class TrainState(struct.PyTreeNode):
+    """Model + optimizer state (params, BN stats, opt state, step, rng)."""
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats, new_rng):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=new_rng,
+        )
+
+
+def create_train_state(
+    model,
+    example_input,
+    tx: optax.GradientTransformation,
+    seed: int = 0,
+    extra_models: dict | None = None,
+) -> TrainState:
+    """Initialize a TrainState. ``extra_models`` maps name -> (model, args)
+    for multi-network training (disp net + pose net)."""
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(init_rng, *example_input)
+    params = {"disp": variables["params"]}
+    batch_stats = {"disp": variables.get("batch_stats", {})}
+    if extra_models:
+        for name, (m, args) in extra_models.items():
+            v = m.init(jax.random.fold_in(init_rng, hash(name) % (2**31)), *args)
+            params[name] = v["params"]
+            batch_stats[name] = v.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        rng=state_rng,
+        tx=tx,
+    )
+
+
+def _apply(model, params, batch_stats, *args, train: bool):
+    """Run a flax model handling optional batch_stats collections."""
+    variables = {"params": params}
+    has_bn = bool(batch_stats)
+    if has_bn:
+        variables["batch_stats"] = batch_stats
+    if train and has_bn:
+        out, updates = model.apply(variables, *args, train=True, mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+    try:
+        out = model.apply(variables, *args, train=False)
+    except TypeError:
+        out = model.apply(variables, *args)
+    return out, batch_stats
+
+
+SUPERVISED_LOSSES: dict[str, Callable] = {
+    "l1": l1_loss,
+    "berhu": berhu_loss,
+    "scale_invariant": scale_invariant_loss,
+}
+
+
+def disps_to_depths(disps: list[jax.Array]) -> list[jax.Array]:
+    """disparity -> depth (reference: depth = 1/disp in ``train.py``)."""
+    return [1.0 / d[..., 0] for d in disps]
+
+
+def make_supervised_train_step(
+    model,
+    loss_name: str = "berhu",
+    bins: DepthBins | None = None,
+    aug: AugmentConfig = AugmentConfig(),
+    max_depth: float = 80.0,
+    mesh=None,
+    multiscale: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted supervised step: (state, batch) -> (state, metrics).
+
+    batch: {'tgt': (B, H, W, 3) [0,1], 'intrinsics': (B, 3, 3),
+            'depth': (B, H, W) sparse GT}.
+    """
+    classification = loss_name == "classification"
+    if classification and bins is None:
+        bins = DepthBins()
+    if not classification and loss_name not in SUPERVISED_LOSSES:
+        raise ValueError(f"unknown supervised loss {loss_name!r}")
+
+    def step(state: TrainState, batch):
+        rng, key = jax.random.split(state.rng)
+        imgs, _, depth_gt = augment_batch(
+            key, batch["tgt"][:, None], batch["intrinsics"], batch["depth"], config=aug
+        )
+        x = imgs[:, 0]
+        mask = (depth_gt > 0) & (depth_gt < max_depth)
+
+        def loss_fn(params):
+            out, new_bs = _apply(
+                model, params["disp"], state.batch_stats["disp"], x, train=True
+            )
+            if classification:
+                loss = depth_classification_loss(out, depth_gt, mask, bins)
+            else:
+                depths = disps_to_depths(out)
+                fn = SUPERVISED_LOSSES[loss_name]
+                if multiscale:
+                    loss = multiscale_supervised_loss(depths, depth_gt, mask, fn)
+                else:
+                    loss = fn(depths[0], depth_gt, mask)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads, {**state.batch_stats, "disp": new_bs}, rng
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_selfsup_train_step(
+    disp_model,
+    pose_model,
+    nb_ref_imgs: int = 2,
+    photo_weight: float = 1.0,
+    mask_weight: float = 0.2,
+    smooth_weight: float = 0.1,
+    rotation_mode: str = "euler",
+    padding_mode: str = "zeros",
+    aug: AugmentConfig = AugmentConfig(),
+    num_scales: int = 4,
+    mesh=None,
+    donate: bool = True,
+):
+    """Self-supervised step (reference: BASELINE config 5; ``train.py``
+    photometric path with -p/-m/-s weights).
+
+    batch: {'tgt': (B, H, W, 3), 'ref_imgs': (B, R, H, W, 3),
+            'intrinsics': (B, 3, 3)}.
+    """
+    with_exp = mask_weight > 0
+
+    def step(state: TrainState, batch):
+        rng, key = jax.random.split(state.rng)
+        snippet = jnp.concatenate([batch["tgt"][:, None], batch["ref_imgs"]], axis=1)
+        imgs, K = augment_batch(key, snippet, batch["intrinsics"], config=aug)
+        tgt = imgs[:, 0]
+        refs = [imgs[:, 1 + r] for r in range(nb_ref_imgs)]
+
+        def loss_fn(params):
+            disps, new_bs_d = _apply(
+                disp_model, params["disp"], state.batch_stats["disp"], tgt, train=True
+            )
+            disps = disps[:num_scales]
+            depths = disps_to_depths(disps)
+            (exp_masks, pose), new_bs_p = _apply(
+                pose_model, params["pose"], state.batch_stats["pose"], tgt, refs,
+                train=True,
+            )
+            if not with_exp:
+                exp_masks = None
+            else:
+                exp_masks = exp_masks[:num_scales]
+            photo, _ = photometric_reconstruction_loss(
+                tgt, refs, K, depths, exp_masks, pose,
+                rotation_mode=rotation_mode, padding_mode=padding_mode,
+            )
+            exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
+            smooth = smooth_loss(disps)
+            loss = photo_weight * photo + mask_weight * exp_l + smooth_weight * smooth
+            aux = {
+                "photo_loss": photo,
+                "exp_loss": exp_l,
+                "smooth_loss": smooth,
+                "batch_stats": {"disp": new_bs_d, "pose": new_bs_p},
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, aux["batch_stats"], rng)
+        metrics = {
+            "loss": loss,
+            "photo_loss": aux["photo_loss"],
+            "exp_loss": aux["exp_loss"],
+            "smooth_loss": aux["smooth_loss"],
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(
+    model,
+    classification: bool = False,
+    bins: DepthBins | None = None,
+    max_depth: float = 80.0,
+    mesh=None,
+):
+    """Validation step: forward + Eigen metrics against dumped GT
+    (reference: ``train.py::validate_with_gt``).
+
+    batch: {'img': (B, H, W, 3) normalized, 'depth': (B, H, W)}.
+    """
+    if classification and bins is None:
+        bins = DepthBins()
+
+    def step(params, batch_stats, batch):
+        out, _ = _apply(model, params["disp"], batch_stats["disp"], batch["img"], train=False)
+        if classification:
+            depth = logits_to_depth(out, bins)
+        elif isinstance(out, (list, tuple)):
+            depth = 1.0 / out[0][..., 0]
+        else:  # FCRN-style direct depth
+            depth = out[..., 0]
+        gt = batch["depth"]
+        mask = (gt > 0) & (gt < max_depth)
+        return compute_errors(gt, depth, mask)
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(repl, repl, data), out_shardings=repl)

@@ -1,0 +1,129 @@
+"""Model construction / shape / jit tests (tiny inputs, CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from supervised_dispnet_tpu.models import (
+    DispNetS, DispResNet, DispVggBN, FCRN, PoseExpNet, PoseNet, get_disp_net,
+)
+
+# KITTI dump aspect: H=128, W=416 — tests use /4 size, same 32-divisibility
+H, W = 32, 104
+
+
+def _img(B=1, h=H, w=W, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((B, h, w, c)).astype(np.float32))
+
+
+def test_dispnet_shapes():
+    x = _img()
+    model = DispNetS()
+    params = model.init(jax.random.PRNGKey(0), x)
+    disps = model.apply(params, x)
+    assert len(disps) == 4
+    for s, d in enumerate(disps):
+        assert d.shape == (1, H // 2**s, W // 2**s, 1)
+        dn = np.asarray(d)
+        assert (dn > 0).all() and (dn < 10.011).all()  # sigmoid*10 + 0.01
+
+
+@pytest.mark.parametrize("depth", [18, 50])
+def test_dispresnet_shapes(depth):
+    x = _img()
+    model = DispResNet(encoder_depth=depth)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    disps = model.apply(variables, x, train=False)
+    assert len(disps) == 4
+    for s, d in enumerate(disps):
+        assert d.shape == (1, H // 2**s, W // 2**s, 1)
+
+
+def test_dispresnet_classification_head():
+    x = _img()
+    model = DispResNet(encoder_depth=18, head="classification", num_bins=32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (1, H, W, 32)
+
+
+def test_dispresnet_train_mode_updates_batch_stats():
+    x = _img()
+    model = DispResNet(encoder_depth=18)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["encoder"]["bn1"]["mean"]
+    after = updates["batch_stats"]["encoder"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_disp_vgg_bn_shapes():
+    x = _img()
+    model = DispVggBN()
+    variables = model.init(jax.random.PRNGKey(0), x)
+    disps = model.apply(variables, x, train=False)
+    assert len(disps) == 4
+    assert disps[0].shape == (1, H, W, 1)
+    assert disps[3].shape == (1, H // 8, W // 8, 1)
+
+
+def test_fcrn_shapes():
+    x = _img()
+    model = FCRN(encoder_depth=50)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    depth = model.apply(variables, x, train=False)
+    assert depth.shape == (1, H, W, 1)
+    assert (np.asarray(depth) >= 0).all()
+
+
+def test_pose_exp_net():
+    tgt = _img(seed=1)
+    refs = [_img(seed=2), _img(seed=3)]
+    model = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    params = model.init(jax.random.PRNGKey(0), tgt, refs)
+    masks, pose = model.apply(params, tgt, refs)
+    assert pose.shape == (1, 2, 6)
+    assert np.abs(np.asarray(pose)).max() < 1.0  # 0.01-scaled
+    assert len(masks) == 4
+    for s, m in enumerate(masks):
+        assert m.shape == (1, H // 2**s, W // 2**s, 2)
+        mn = np.asarray(m)
+        assert (mn >= 0).all() and (mn <= 1).all()
+
+
+def test_pose_net_no_exp():
+    tgt = _img(seed=1)
+    refs = [_img(seed=2), _img(seed=3)]
+    model = PoseNet(nb_ref_imgs=2)
+    params = model.init(jax.random.PRNGKey(0), tgt, refs)
+    pose = model.apply(params, tgt, refs)
+    assert pose.shape == (1, 2, 6)
+
+
+def test_registry():
+    assert isinstance(get_disp_net("dispnet"), DispNetS)
+    assert get_disp_net("disp_res_50").encoder_depth == 50
+    assert get_disp_net("disp_res", head="classification").head == "classification"
+    with pytest.raises(ValueError):
+        get_disp_net("nope")
+    with pytest.raises(ValueError):
+        get_disp_net("dispnet", head="classification")
+
+
+def test_dispnet_jit_and_grad():
+    x = _img()
+    model = DispNetS()
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def loss_fn(p):
+        disps = model.apply(p, x)
+        return sum(jnp.mean(d) for d in disps)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
