@@ -1,0 +1,94 @@
+"""Folder inference CLI — rebuild of the reference ``run_inference.py``:
+image folder -> disparity/depth PNGs (and optional .npy dumps).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Run disparity inference on a folder of images",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--pretrained", required=True)
+    p.add_argument("--network", default="dispnet")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--img-height", type=int, default=128)
+    p.add_argument("--img-width", type=int, default=416)
+    p.add_argument("--output-disp", action="store_true")
+    p.add_argument("--output-depth", action="store_true")
+    p.add_argument("--save-npy", action="store_true")
+    p.add_argument("--img-exts", nargs="+", default=["png", "jpg", "bmp"])
+    p.add_argument("--imagenet-normalization", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    if not (args.output_disp or args.output_depth or args.save_npy):
+        args.output_depth = True
+
+    import cv2
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.cli.test_disp import load_params
+    from supervised_dispnet_tpu.data.augment import (
+        HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD, normalize_images,
+    )
+    from supervised_dispnet_tpu.models import get_disp_net
+    from supervised_dispnet_tpu.utils.viz import save_depth_png
+
+    model = get_disp_net(args.network)
+    params, batch_stats = load_params(
+        args.pretrained, args.network, model, (args.img_height, args.img_width)
+    )
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    mean = IMAGENET_MEAN if args.imagenet_normalization else HALF_MEAN
+    std = IMAGENET_STD if args.imagenet_normalization else HALF_STD
+
+    import jax
+
+    @jax.jit
+    def forward(x):
+        try:
+            out = model.apply(variables, x, train=False)
+        except TypeError:
+            out = model.apply(variables, x)
+        if isinstance(out, (list, tuple)):
+            return out[0][..., 0]
+        return out[..., 0]
+
+    src = Path(args.dataset_dir)
+    dst = Path(args.output_dir)
+    dst.mkdir(parents=True, exist_ok=True)
+    files = sorted(
+        f for ext in args.img_exts for f in src.glob(f"*.{ext}")
+    )
+    print(f"{len(files)} files to test")
+    for f in files:
+        img = cv2.imread(str(f))[:, :, ::-1].astype(np.float32) / 255.0
+        img = cv2.resize(img, (args.img_width, args.img_height),
+                         interpolation=cv2.INTER_AREA)
+        x = normalize_images(jnp.asarray(img[None]), mean, std)
+        disp = np.asarray(forward(x))[0]
+        if args.output_disp:
+            save_depth_png(dst / f"{f.stem}_disp.png", disp)
+        if args.output_depth or args.save_npy:
+            depth = 1.0 / np.maximum(disp, 1e-6)
+            if args.output_depth:
+                save_depth_png(dst / f"{f.stem}_depth.png", depth, max_value=80.0)
+            if args.save_npy:
+                np.save(dst / f"{f.stem}_depth.npy", depth)
+    print(f"wrote outputs to {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Eigen-split depth evaluation CLI — rebuild of the reference ``test_disp.py``.
+
+  python test_disp.py --pretrained-dispnet ckpt --network disp_res_50 \
+      --dataset-dir /data/kitti_raw --dataset-list test_files_eigen.txt \
+      [--classification] [--median-scaling] [--max-depth 80]
+
+Pipeline per image (reference: ``test_disp.py::main``): resize to the
+network input (416x128), normalize, forward, upsample prediction to GT
+resolution, depth = 1/disp (or soft classification decode), optional
+median scaling, Garg crop + cap, accumulate Eigen errors. Batched on
+device for throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="KITTI Eigen-split depth evaluation",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--pretrained-dispnet", required=True,
+                   help="orbax checkpoint dir or torch .pth.tar")
+    p.add_argument("--network", default="dispnet")
+    p.add_argument("--dataset-dir", required=True, help="KITTI raw root")
+    p.add_argument("--dataset-list", required=True,
+                   help="Eigen test file list (one image path per line)")
+    p.add_argument("--img-height", type=int, default=128)
+    p.add_argument("--img-width", type=int, default=416)
+    p.add_argument("--min-depth", type=float, default=1e-3)
+    p.add_argument("--max-depth", type=float, default=80.0)
+    p.add_argument("--no-resize", action="store_true")
+    p.add_argument("--classification", action="store_true")
+    p.add_argument("--num-bins", type=int, default=64)
+    p.add_argument("--median-scaling", action="store_true",
+                   help="per-image median scaling (self-supervised models)")
+    p.add_argument("--imagenet-normalization", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--output-dir", default=None, help="dump predicted depth .npy")
+    return p
+
+
+def load_params(path: str, network: str, model, img_hw):
+    """orbax dir or torch .pth.tar -> (params, batch_stats)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = Path(path)
+    if p.is_file():
+        from supervised_dispnet_tpu.utils.checkpoint import (
+            convert_dispnet, load_torch_state_dict,
+        )
+
+        if network != "dispnet":
+            raise NotImplementedError("torch conversion CLI path supports dispnet")
+        sd = load_torch_state_dict(p)
+        return convert_dispnet(sd), {}
+    # orbax: restore into a freshly-initialized template
+    import optax
+
+    from supervised_dispnet_tpu.training.train_step import create_train_state
+    from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+
+    state = create_train_state(
+        model, (jnp.zeros((1, *img_hw, 3)),), optax.adam(1e-4)
+    )
+    state = restore_checkpoint(p, state)
+    return state.params["disp"], state.batch_stats["disp"]
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.data.augment import (
+        HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD, normalize_images,
+    )
+    from supervised_dispnet_tpu.kitti_eval.depth_evaluation_utils import (
+        EvalConfig, KittiEigenFramework, evaluate_depth,
+    )
+    from supervised_dispnet_tpu.losses.classification import DepthBins, logits_to_depth
+    from supervised_dispnet_tpu.models import get_disp_net
+    from supervised_dispnet_tpu.ops.resize import resize_bilinear
+
+    head = "classification" if args.classification else "disp"
+    model = get_disp_net(args.network, head=head, num_bins=args.num_bins)
+    img_hw = (args.img_height, args.img_width)
+    params, batch_stats = load_params(
+        args.pretrained_dispnet, args.network, model, img_hw
+    )
+    bins = DepthBins(num_bins=args.num_bins, max_depth=args.max_depth)
+    mean = IMAGENET_MEAN if args.imagenet_normalization else HALF_MEAN
+    std = IMAGENET_STD if args.imagenet_normalization else HALF_STD
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def forward(x):
+        try:
+            out = model.apply(variables, x, train=False)
+        except TypeError:
+            out = model.apply(variables, x)
+        if args.classification:
+            return logits_to_depth(out, bins)
+        if isinstance(out, (list, tuple)):
+            return 1.0 / out[0][..., 0]
+        return out[..., 0]
+
+    test_files = [l for l in open(args.dataset_list)]
+    framework = KittiEigenFramework(
+        args.dataset_dir, test_files, args.min_depth, args.max_depth
+    )
+    import cv2
+
+    gt_list, pred_list = [], []
+    batch_imgs, batch_gt = [], []
+
+    def flush():
+        if not batch_imgs:
+            return
+        x = jnp.asarray(np.stack(batch_imgs))
+        x = normalize_images(x, mean, std)
+        depth = np.asarray(forward(x))
+        for d, gt in zip(depth, batch_gt):
+            d_up = np.asarray(
+                resize_bilinear(jnp.asarray(d)[None, :, :, None],
+                                gt.shape[0], gt.shape[1])
+            )[0, :, :, 0]
+            pred_list.append(d_up)
+            gt_list.append(gt)
+        batch_imgs.clear()
+        batch_gt.clear()
+
+    for i, sample in enumerate(framework):
+        img = sample["img"].astype(np.float32) / 255.0
+        if not args.no_resize:
+            img = cv2.resize(img, (args.img_width, args.img_height),
+                             interpolation=cv2.INTER_AREA)
+        batch_imgs.append(img)
+        batch_gt.append(sample["gt_depth"])
+        if len(batch_imgs) == args.batch_size:
+            flush()
+        if i % 50 == 0:
+            print(f"  {i}/{len(framework)}", flush=True)
+    flush()
+
+    cfg = EvalConfig(min_depth=args.min_depth, max_depth=args.max_depth,
+                     median_scaling=args.median_scaling)
+    results = evaluate_depth(gt_list, pred_list, cfg)
+
+    if args.output_dir:
+        out = Path(args.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        np.save(out / "predictions.npy", np.asarray(pred_list, dtype=object),
+                allow_pickle=True)
+
+    names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+    print()
+    print("".join(f"{n:>10}" for n in names))
+    print("".join(f"{results[n]:10.4f}" for n in names))
+
+
+if __name__ == "__main__":
+    main()

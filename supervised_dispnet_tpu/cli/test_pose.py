@@ -1,0 +1,123 @@
+"""Odometry pose evaluation CLI — rebuild of the reference ``test_pose.py``:
+evaluate PoseExpNet snippet ATE/RE on KITTI odometry sequences (09/10).
+
+Expects the KITTI odometry layout:
+  <dataset-dir>/sequences/<seq>/image_2/*.png
+  <dataset-dir>/poses/<seq>.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="KITTI odometry pose evaluation (snippet ATE/RE)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--pretrained-posenet", required=True,
+                   help="torch exp_pose .pth.tar or orbax dir")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--sequences", nargs="+", default=["09"])
+    p.add_argument("--sequence-length", type=int, default=3)
+    p.add_argument("--img-height", type=int, default=128)
+    p.add_argument("--img-width", type=int, default=416)
+    p.add_argument("--rotation-mode", default="euler", choices=["euler", "quat"])
+    p.add_argument("--imagenet-normalization", action="store_true")
+    return p
+
+
+def pose_vec_to_snippet(poses_vec: np.ndarray, rotation_mode: str) -> np.ndarray:
+    """(R-1, 6) predicted ref poses + identity tgt -> (R, 3, 4) absolute
+    snippet poses relative to the target (middle) frame."""
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.ops.warp import pose_vec2mat
+
+    mats = np.asarray(pose_vec2mat(jnp.asarray(poses_vec), rotation_mode))
+    R = len(poses_vec) + 1
+    mid = R // 2
+    out = []
+    j = 0
+    for i in range(R):
+        if i == mid:
+            out.append(np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
+        else:
+            out.append(mats[j])
+            j += 1
+    return np.stack(out)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.data.augment import (
+        HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD, normalize_images,
+    )
+    from supervised_dispnet_tpu.kitti_eval.pose_evaluation_utils import (
+        evaluate_pose_snippets, read_odometry_poses, snippet_from_poses,
+    )
+    from supervised_dispnet_tpu.models import PoseExpNet
+
+    nb_refs = args.sequence_length - 1
+    model = PoseExpNet(nb_ref_imgs=nb_refs, output_exp=False)
+
+    ckpt = Path(args.pretrained_posenet)
+    if ckpt.is_file():
+        from supervised_dispnet_tpu.utils.checkpoint import (
+            convert_pose_exp_net, load_torch_state_dict,
+        )
+
+        params = convert_pose_exp_net(load_torch_state_dict(ckpt), output_exp=False)
+    else:
+        raise NotImplementedError("orbax posenet restore: pass the torch .pth.tar")
+
+    mean = IMAGENET_MEAN if args.imagenet_normalization else HALF_MEAN
+    std = IMAGENET_STD if args.imagenet_normalization else HALF_STD
+
+    @jax.jit
+    def forward(tgt, refs):
+        _, pose = model.apply({"params": params}, tgt, [refs[:, i] for i in range(nb_refs)])
+        return pose
+
+    demi = nb_refs // 2
+    gt_snips, pred_snips = [], []
+    for seq in args.sequences:
+        seq_dir = Path(args.dataset_dir) / "sequences" / seq / "image_2"
+        frames = sorted(seq_dir.glob("*.png"))
+        gt_poses = read_odometry_poses(Path(args.dataset_dir) / "poses" / f"{seq}.txt")
+        n = min(len(frames), len(gt_poses))
+
+        def load(i):
+            img = cv2.imread(str(frames[i]))[:, :, ::-1].astype(np.float32) / 255.0
+            return cv2.resize(img, (args.img_width, args.img_height),
+                              interpolation=cv2.INTER_AREA)
+
+        for i in range(demi, n - demi):
+            idxs = np.arange(i - demi, i + demi + 1)
+            tgt = jnp.asarray(load(i)[None])
+            refs = np.stack([load(j) for j in idxs if j != i])[None]
+            tgt_n = normalize_images(tgt, mean, std)
+            refs_n = normalize_images(jnp.asarray(refs), mean, std)
+            pose = np.asarray(forward(tgt_n, refs_n))[0]  # (R-1, 6)
+            pred_snips.append(pose_vec_to_snippet(pose, args.rotation_mode))
+            gt_snips.append(snippet_from_poses(gt_poses, idxs))
+            if i % 200 == 0:
+                print(f"  seq {seq}: {i}/{n}", flush=True)
+
+    results = evaluate_pose_snippets(gt_snips, pred_snips)
+    print(f"\nATE  {results['ate_mean']:.4f} +/- {results['ate_std']:.4f}")
+    print(f"RE   {results['re_mean']:.4f} +/- {results['re_std']:.4f}")
+    print(f"n    {int(results['n_snippets'])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Training CLI — flag-compatible rebuild of the reference ``train.py``.
+
+Examples (reference: README training commands):
+
+  # supervised BerHu on dumped KITTI
+  python train.py /data/kitti_dump --network disp_res_50 --loss berhu \
+      -b 4 --lr 2e-4 --epochs 80 --with-gt
+
+  # depth-as-classification
+  python train.py /data/kitti_dump --network disp_res_50 --loss classification
+
+  # self-supervised 3-frame snippets
+  python train.py /data/kitti_dump --network dispnet --loss selfsup \
+      --sequence-length 3 -p 1.0 -m 0.2 -s 0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native supervised/self-supervised DispNet training",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("data", help="path to the dumped dataset (prepare_train_data output)")
+    p.add_argument("--network", default="dispnet",
+                   choices=["dispnet", "disp_res", "disp_res_18", "disp_res_50",
+                            "disp_vgg_bn", "fcrn"])
+    p.add_argument("--loss", default="berhu",
+                   choices=["l1", "berhu", "scale_invariant", "classification",
+                            "selfsup"])
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epoch-size", type=int, default=0,
+                   help="limit batches per epoch (0 = full)")
+    p.add_argument("-b", "--batch-size", type=int, default=4)
+    p.add_argument("--lr", "--learning-rate", type=float, default=2e-4)
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="adam beta1 (reference flag name)")
+    p.add_argument("--beta", type=float, default=0.999,
+                   help="adam beta2 (reference flag name)")
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--sequence-length", type=int, default=3)
+    p.add_argument("--rotation-mode", default="euler", choices=["euler", "quat"])
+    p.add_argument("--padding-mode", default="zeros", choices=["zeros", "border"])
+    p.add_argument("-p", "--photo-loss-weight", type=float, default=1.0)
+    p.add_argument("-m", "--mask-loss-weight", type=float, default=0.2)
+    p.add_argument("-s", "--smooth-loss-weight", type=float, default=0.1)
+    p.add_argument("--num-bins", type=int, default=64)
+    p.add_argument("--max-depth", type=float, default=80.0)
+    p.add_argument("--imagenet-normalization", action="store_true")
+    p.add_argument("--with-gt", action="store_true",
+                   help="validate against dumped GT depth (always on here)")
+    p.add_argument("-j", "--workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--img-height", type=int, default=128)
+    p.add_argument("--img-width", type=int, default=416)
+    p.add_argument("--name", default="exp", help="experiment name")
+    p.add_argument("--checkpoints-dir", default="checkpoints")
+    p.add_argument("--pretrained-disp", default=None,
+                   help="torch .pth.tar or orbax dir to initialize the disp net")
+    p.add_argument("--pretrained-exppose", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from supervised_dispnet_tpu.models import PoseExpNet, get_disp_net
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    timestamp = datetime.datetime.now().strftime("%m-%d-%H.%M")
+    save_path = Path(args.checkpoints_dir) / args.name / timestamp
+
+    cfg = TrainerConfig(
+        data=args.data,
+        save_path=str(save_path),
+        network=args.network,
+        loss=args.loss,
+        epochs=args.epochs,
+        epoch_size=args.epoch_size,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        beta1=args.momentum,
+        beta2=args.beta,
+        weight_decay=args.weight_decay,
+        sequence_length=args.sequence_length,
+        rotation_mode=args.rotation_mode,
+        padding_mode=args.padding_mode,
+        photo_loss_weight=args.photo_loss_weight,
+        mask_loss_weight=args.mask_loss_weight,
+        smooth_loss_weight=args.smooth_loss_weight,
+        num_bins=args.num_bins,
+        max_depth=args.max_depth,
+        imagenet_normalization=args.imagenet_normalization,
+        workers=args.workers,
+        seed=args.seed,
+        img_height=args.img_height,
+        img_width=args.img_width,
+    )
+
+    head = "classification" if args.loss == "classification" else "disp"
+    disp_model = get_disp_net(args.network, head=head, num_bins=args.num_bins)
+    pose_model = None
+    if args.loss == "selfsup":
+        pose_model = PoseExpNet(nb_ref_imgs=args.sequence_length - 1,
+                                output_exp=args.mask_loss_weight > 0)
+
+    trainer = Trainer(cfg, disp_model, pose_model)
+
+    if args.pretrained_disp:
+        _load_pretrained_disp(trainer, args.pretrained_disp, args.network)
+
+    print(f"=> saving to {save_path}")
+    best = trainer.fit()
+    print(f"=> best abs_rel {best:.4f}")
+
+
+def _load_pretrained_disp(trainer, path: str, network: str) -> None:
+    """Initialize disp params from a torch .pth.tar (converted) or orbax dir."""
+    p = Path(path)
+    if p.is_dir():
+        from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+
+        trainer.state = restore_checkpoint(p, trainer.state)
+        return
+    from supervised_dispnet_tpu.utils.checkpoint import (
+        convert_dispnet, load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(p)
+    if network == "dispnet":
+        trainer.state = trainer.state.replace(
+            params={**trainer.state.params, "disp": convert_dispnet(sd)}
+        )
+    else:
+        raise NotImplementedError(
+            f"torch conversion for {network} not wired into the CLI yet"
+        )
+
+
+if __name__ == "__main__":
+    main()

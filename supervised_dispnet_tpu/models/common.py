@@ -51,8 +51,8 @@ class DownsampleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = ConvELU(self.features, self.kernel, stride=2)(x)
-        x = ConvELU(self.features, self.kernel, stride=1)(x)
+        x = ConvELU(self.features, self.kernel, stride=2, name="conv_a")(x)
+        x = ConvELU(self.features, self.kernel, stride=1, name="conv_b")(x)
         return x
 
 
@@ -66,11 +66,14 @@ class UpConvELU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # padding ((1, 2), (1, 2)) reproduces torch ConvTranspose2d(k=3, s=2,
+        # p=1, output_padding=1) pixel alignment exactly (converter flips the
+        # kernel spatially); output is exactly 2x input
         x = nn.ConvTranspose(
             self.features,
             (3, 3),
             strides=(2, 2),
-            padding="SAME",
+            padding=((1, 2), (1, 2)),
             kernel_init=xavier_uniform,
         )(x)
         return nn.elu(x)

@@ -42,31 +42,33 @@ class PoseExpNet(nn.Module):
 
         feats = []
         h = x
-        for planes, k in zip(ENC_PLANES, ENC_KERNELS):
-            h = ConvELU(planes, k, stride=2)(h)
+        for n, (planes, k) in enumerate(zip(ENC_PLANES, ENC_KERNELS)):
+            h = ConvELU(planes, k, stride=2, name=f"conv{n + 1}")(h)
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats
 
-        pose = nn.Conv(6 * self.nb_ref_imgs, (1, 1), kernel_init=xavier_uniform)(c7)
+        pose = nn.Conv(6 * self.nb_ref_imgs, (1, 1), kernel_init=xavier_uniform,
+                       name="pose_pred")(c7)
         pose = pose.mean(axis=(1, 2)) * POSE_SCALE
         pose = pose.reshape(pose.shape[0], self.nb_ref_imgs, 6)
 
         if not self.output_exp:
             return None, pose
 
-        def mask_head(feat):
-            logits = nn.Conv(self.nb_ref_imgs, (3, 3), padding=1, kernel_init=xavier_uniform)(feat)
+        def mask_head(feat, n):
+            logits = nn.Conv(self.nb_ref_imgs, (3, 3), padding=1,
+                             kernel_init=xavier_uniform, name=f"predict_mask{n}")(feat)
             return nn.sigmoid(logits)
 
-        u5 = crop_like(UpConvELU(DEC_PLANES[0])(c5), c4)
-        u4 = crop_like(UpConvELU(DEC_PLANES[1])(u5), c3)
-        exp4 = mask_head(u4)  # 1/8
-        u3 = crop_like(UpConvELU(DEC_PLANES[2])(u4), c2)
-        exp3 = mask_head(u3)  # 1/4
-        u2 = crop_like(UpConvELU(DEC_PLANES[3])(u3), c1)
-        exp2 = mask_head(u2)  # 1/2
-        u1 = crop_like(UpConvELU(DEC_PLANES[4])(u2), tgt)
-        exp1 = mask_head(u1)  # full
+        u5 = crop_like(UpConvELU(DEC_PLANES[0], name="upconv5")(c5), c4)
+        u4 = crop_like(UpConvELU(DEC_PLANES[1], name="upconv4")(u5), c3)
+        exp4 = mask_head(u4, 4)  # 1/8
+        u3 = crop_like(UpConvELU(DEC_PLANES[2], name="upconv3")(u4), c2)
+        exp3 = mask_head(u3, 3)  # 1/4
+        u2 = crop_like(UpConvELU(DEC_PLANES[3], name="upconv2")(u3), c1)
+        exp2 = mask_head(u2, 2)  # 1/2
+        u1 = crop_like(UpConvELU(DEC_PLANES[4], name="upconv1")(u2), tgt)
+        exp1 = mask_head(u1, 1)  # full
 
         return [exp1, exp2, exp3, exp4], pose
 

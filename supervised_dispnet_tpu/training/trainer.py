@@ -1,0 +1,225 @@
+"""Epoch-level training driver.
+
+Rebuild of the reference's ``train.py::{main, train, validate_with_gt}``
+loop: per-epoch train pass (hot loop = one fused jitted step per batch),
+validation against dumped GT depth, CSV/JSONL/tensorboard logging, and
+checkpoint save with best-copy on abs_rel improvement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from supervised_dispnet_tpu.data.augment import AugmentConfig, normalize_images
+from supervised_dispnet_tpu.data.loader import BatchLoader
+from supervised_dispnet_tpu.losses.classification import DepthBins
+from supervised_dispnet_tpu.parallel.mesh import make_mesh, shard_batch
+from supervised_dispnet_tpu.training.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_selfsup_train_step,
+    make_supervised_train_step,
+)
+from supervised_dispnet_tpu.utils.checkpoint import save_checkpoint
+from supervised_dispnet_tpu.utils.logging import (
+    AverageMeter,
+    CsvLogger,
+    JsonlLogger,
+    TermLogger,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirrors the reference CLI flags (reference: ``train.py`` argparse)."""
+
+    data: str = ""
+    save_path: str = "checkpoints/exp"
+    network: str = "dispnet"
+    loss: str = "berhu"  # l1|berhu|scale_invariant|classification|selfsup
+    epochs: int = 200
+    epoch_size: int = 0  # 0 = full epoch
+    batch_size: int = 4
+    lr: float = 2e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    sequence_length: int = 3
+    rotation_mode: str = "euler"
+    padding_mode: str = "zeros"
+    photo_loss_weight: float = 1.0
+    mask_loss_weight: float = 0.2
+    smooth_loss_weight: float = 0.1
+    num_bins: int = 64
+    max_depth: float = 80.0
+    imagenet_normalization: bool = False
+    workers: int = 4
+    seed: int = 0
+    img_height: int = 128
+    img_width: int = 416
+    with_exp_mask: bool = True
+
+
+def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    if cfg.weight_decay > 0:
+        return optax.adamw(cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
+                           weight_decay=cfg.weight_decay)
+    return optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+
+
+def aug_config(cfg: TrainerConfig) -> AugmentConfig:
+    from supervised_dispnet_tpu.data.augment import HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD
+
+    if cfg.imagenet_normalization:
+        return AugmentConfig(mean=IMAGENET_MEAN, std=IMAGENET_STD)
+    return AugmentConfig(mean=HALF_MEAN, std=HALF_STD)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, disp_model, pose_model=None, mesh=None):
+        self.cfg = cfg
+        self.disp_model = disp_model
+        self.pose_model = pose_model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.selfsup = cfg.loss == "selfsup"
+        self.classification = cfg.loss == "classification"
+        self.bins = DepthBins(num_bins=cfg.num_bins, max_depth=cfg.max_depth)
+        self.aug = aug_config(cfg)
+
+        H, W = cfg.img_height, cfg.img_width
+        example = (jnp.zeros((1, H, W, 3)),)
+        extra = None
+        if self.selfsup:
+            refs = [jnp.zeros((1, H, W, 3))] * (cfg.sequence_length - 1)
+            extra = {"pose": (pose_model, (jnp.zeros((1, H, W, 3)), refs))}
+        self.state = create_train_state(
+            disp_model, example, build_optimizer(cfg), seed=cfg.seed, extra_models=extra
+        )
+
+        if self.selfsup:
+            self.train_step = make_selfsup_train_step(
+                disp_model, pose_model,
+                nb_ref_imgs=cfg.sequence_length - 1,
+                photo_weight=cfg.photo_loss_weight,
+                mask_weight=cfg.mask_loss_weight if cfg.with_exp_mask else 0.0,
+                smooth_weight=cfg.smooth_loss_weight,
+                rotation_mode=cfg.rotation_mode,
+                padding_mode=cfg.padding_mode,
+                aug=self.aug, mesh=self.mesh,
+            )
+        else:
+            self.train_step = make_supervised_train_step(
+                disp_model, cfg.loss, bins=self.bins, aug=self.aug,
+                max_depth=cfg.max_depth, mesh=self.mesh,
+            )
+        self.eval_step = make_eval_step(
+            disp_model, classification=self.classification, bins=self.bins,
+            max_depth=cfg.max_depth, mesh=self.mesh,
+        )
+
+    # -- data ---------------------------------------------------------------
+    def make_loaders(self):
+        from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
+        from supervised_dispnet_tpu.data.validation_folders import ValidationSet
+
+        train_set = SequenceFolder(
+            self.cfg.data, seed=self.cfg.seed, train=True,
+            sequence_length=self.cfg.sequence_length,
+            with_depth=not self.selfsup,
+        )
+        val_set = ValidationSet(self.cfg.data)
+        train_loader = BatchLoader(
+            train_set, self.cfg.batch_size, shuffle=True,
+            num_workers=self.cfg.workers, seed=self.cfg.seed,
+            epoch_size=self.cfg.epoch_size or None,
+        )
+        val_loader = BatchLoader(
+            val_set, self.cfg.batch_size, shuffle=False,
+            num_workers=self.cfg.workers,
+        )
+        return train_loader, val_loader
+
+    def _prep_train_batch(self, np_batch):
+        if self.selfsup:
+            batch = {
+                "tgt": np_batch["tgt"],
+                "ref_imgs": np_batch["ref_imgs"],
+                "intrinsics": np_batch["intrinsics"],
+            }
+        else:
+            batch = {
+                "tgt": np_batch["tgt"],
+                "intrinsics": np_batch["intrinsics"],
+                "depth": np_batch["depth"],
+            }
+        return shard_batch(batch, self.mesh)
+
+    # -- loops --------------------------------------------------------------
+    def train_epoch(self, loader, logger: TermLogger, csv: CsvLogger,
+                    jsonl: JsonlLogger):
+        meter = AverageMeter(precision=4)
+        t_data = AverageMeter(precision=3)
+        t_batch = AverageMeter(precision=3)
+        end = time.time()
+        for i, np_batch in enumerate(loader):
+            t_data.update(time.time() - end)
+            batch = self._prep_train_batch(np_batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            loss = float(metrics["loss"])
+            meter.update(loss)
+            csv.write_iter([loss])
+            t_batch.update(time.time() - end)
+            end = time.time()
+            logger.train_update(
+                i, f"batch {t_batch} data {t_data} loss {meter}"
+            )
+            jsonl.log(event="train_iter", step=int(self.state.step), loss=loss)
+        return meter.avg[0]
+
+    def validate(self, loader, logger: TermLogger):
+        """validate_with_gt (reference: ``train.py::validate_with_gt``)."""
+        mean = self.aug.mean
+        std = self.aug.std
+        sums: dict[str, float] = {}
+        n = 0
+        for i, np_batch in enumerate(loader):
+            imgs = normalize_images(jnp.asarray(np_batch["img"]), mean, std)
+            batch = shard_batch({"img": imgs, "depth": jnp.asarray(np_batch["depth"])},
+                                self.mesh)
+            errs = self.eval_step(self.state.params, self.state.batch_stats, batch)
+            for k, v in errs.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            logger.valid_update(i)
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def fit(self):
+        cfg = self.cfg
+        save_path = Path(cfg.save_path)
+        train_loader, val_loader = self.make_loaders()
+        logger = TermLogger(cfg.epochs, len(train_loader), len(val_loader))
+        csv = CsvLogger(save_path)
+        jsonl = JsonlLogger(save_path / "metrics.jsonl")
+        best = float("inf")
+        for epoch in range(cfg.epochs):
+            logger.epoch_start(epoch)
+            train_loss = self.train_epoch(train_loader, logger, csv, jsonl)
+            errors = self.validate(val_loader, logger)
+            logger.print_result(
+                "val: " + ", ".join(f"{k}={v:.4f}" for k, v in errors.items())
+            )
+            jsonl.log(event="epoch", epoch=epoch, train_loss=train_loss, **errors)
+            csv.write_summary([train_loss, errors.get("abs_rel", 0.0)])
+            abs_rel = errors.get("abs_rel", float("inf"))
+            is_best = abs_rel < best
+            best = min(best, abs_rel)
+            save_checkpoint(save_path, self.state, step=epoch, is_best=is_best)
+        jsonl.close()
+        return best

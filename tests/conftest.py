@@ -1,15 +1,20 @@
 """Test configuration: force the JAX CPU backend with 8 virtual devices so
 multi-chip sharding paths are exercised without TPU hardware.
 
-Must run before any test module imports jax (conftest import happens first).
+Note: this environment pre-sets JAX_PLATFORMS=axon (TPU tunnel) and its
+site hooks re-assert it, so the env-var route is not reliable —
+``jax.config.update`` after import (before backend init) is.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,110 @@
+"""Checkpoint-conversion fidelity: torch forward == flax forward after
+convert_* (SURVEY.md §7 hard part #2)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from supervised_dispnet_tpu.models import DispNetS, PoseExpNet
+from supervised_dispnet_tpu.models.resnet import ResNetEncoder
+from supervised_dispnet_tpu.utils.checkpoint import (
+    convert_dispnet,
+    convert_pose_exp_net,
+    convert_resnet_encoder,
+    load_torch_state_dict,
+)
+from tests.torch_ref import TorchDispNetS, TorchPoseExpNet, TorchResNet18Encoder
+
+H, W = 32, 64
+
+
+def test_dispnet_forward_parity():
+    torch.manual_seed(0)
+    tmodel = TorchDispNetS().eval()
+    sd = {k: v for k, v in tmodel.state_dict().items()}
+    params = convert_dispnet(sd)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, H, W)).astype(np.float32)
+    with torch.no_grad():
+        t_disps = tmodel(torch.from_numpy(x))
+
+    model = DispNetS()
+    # validate converted tree structure against a fresh init
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    assert ref_shapes == got_shapes
+
+    j_disps = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for td, jd in zip(t_disps, j_disps):
+        np.testing.assert_allclose(
+            np.asarray(jd)[..., 0], td.numpy()[:, 0], rtol=1e-3, atol=2e-4
+        )
+
+
+def test_pose_exp_net_forward_parity():
+    torch.manual_seed(1)
+    tmodel = TorchPoseExpNet(nb_ref_imgs=2, output_exp=True).eval()
+    params = convert_pose_exp_net(tmodel.state_dict())
+
+    rng = np.random.default_rng(1)
+    tgt = rng.standard_normal((2, 3, H, W)).astype(np.float32)
+    refs = [rng.standard_normal((2, 3, H, W)).astype(np.float32) for _ in range(2)]
+    with torch.no_grad():
+        t_masks, t_pose = tmodel(torch.from_numpy(tgt), [torch.from_numpy(r) for r in refs])
+
+    model = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    j_masks, j_pose = model.apply(
+        {"params": params},
+        jnp.asarray(tgt.transpose(0, 2, 3, 1)),
+        [jnp.asarray(r.transpose(0, 2, 3, 1)) for r in refs],
+    )
+    np.testing.assert_allclose(np.asarray(j_pose), t_pose.numpy(), rtol=1e-3, atol=1e-6)
+    for tm, jm in zip(t_masks, j_masks):
+        np.testing.assert_allclose(
+            np.asarray(jm), tm.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=2e-4
+        )
+
+
+def test_resnet18_encoder_parity():
+    torch.manual_seed(2)
+    tmodel = TorchResNet18Encoder().eval()
+    # randomize BN running stats so the test catches stat-mapping bugs
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    params, stats = convert_resnet_encoder(tmodel.state_dict(), depth=18)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 3, H, W)).astype(np.float32)
+    with torch.no_grad():
+        t_feats = tmodel(torch.from_numpy(x))
+
+    model = ResNetEncoder(depth=18)
+    j_feats = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    assert len(t_feats) == len(j_feats) == 5
+    for tf, jf in zip(t_feats, j_feats):
+        np.testing.assert_allclose(
+            np.asarray(jf), tf.numpy().transpose(0, 2, 3, 1), rtol=1e-2, atol=1e-3
+        )
+
+
+def test_load_torch_state_dict_strips_dataparallel(tmp_path):
+    torch.manual_seed(3)
+    tmodel = TorchDispNetS()
+    wrapped = {"epoch": 5, "state_dict": {f"module.{k}": v for k, v in tmodel.state_dict().items()}}
+    path = tmp_path / "dispnet_checkpoint.pth.tar"
+    torch.save(wrapped, path)
+    sd = load_torch_state_dict(path)
+    assert "conv1.0.weight" in sd
+    params = convert_dispnet(sd)
+    assert "conv1" in params

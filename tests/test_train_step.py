@@ -1,0 +1,140 @@
+"""Train-step tests: loss decreases, BN stats update, and data-parallel
+sharding over the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from supervised_dispnet_tpu.data.augment import AugmentConfig
+from supervised_dispnet_tpu.losses.classification import DepthBins
+from supervised_dispnet_tpu.models import DispNetS, DispResNet, PoseExpNet
+from supervised_dispnet_tpu.parallel import make_mesh, shard_batch
+from supervised_dispnet_tpu.training import (
+    create_train_state,
+    make_eval_step,
+    make_selfsup_train_step,
+    make_supervised_train_step,
+)
+
+H, W = 32, 64
+NO_AUG = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
+
+
+def _sup_batch(B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    tgt = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    K = np.broadcast_to(
+        np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32), (B, 3, 3)
+    ).copy()
+    depth = rng.uniform(1, 60, (B, H, W)).astype(np.float32)
+    depth *= rng.uniform(size=(B, H, W)) > 0.5  # sparse
+    return {"tgt": tgt, "intrinsics": K, "depth": depth}
+
+
+def test_supervised_step_berhu_loss_decreases():
+    model = DispNetS()
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step = make_supervised_train_step(model, "berhu", aug=NO_AUG, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch().items()}
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_supervised_classification_step():
+    bins = DepthBins(num_bins=16)
+    model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step = make_supervised_train_step(
+        model, "classification", bins=bins, aug=NO_AUG, donate=False
+    )
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(seed=1).items()}
+    state0_bn = state.batch_stats["disp"]["encoder"]["bn1"]["mean"]
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # BN running stats must have been updated through the step
+    assert not np.allclose(
+        np.asarray(state.batch_stats["disp"]["encoder"]["bn1"]["mean"]),
+        np.asarray(state0_bn),
+    )
+
+
+def test_selfsup_step_runs_and_decreases():
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    B = 4
+    rng = np.random.default_rng(2)
+    tgt = jnp.zeros((1, H, W, 3))
+    refs = [tgt, tgt]
+    state = create_train_state(
+        disp, (tgt,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt, refs))},
+    )
+    step = make_selfsup_train_step(disp, pose, nb_ref_imgs=2, aug=NO_AUG, donate=False)
+    batch = {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "ref_imgs": jnp.asarray(rng.uniform(0, 1, (B, 2, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(_sup_batch(B)["intrinsics"]),
+    }
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        for k in ("photo_loss", "exp_loss", "smooth_loss"):
+            assert np.isfinite(float(metrics[k]))
+    assert losses[-1] < losses[0]
+
+
+def test_supervised_step_data_parallel_8dev():
+    """Same math on a 1-device and an 8-device mesh (DP gradient psum)."""
+    assert jax.device_count() >= 8, "conftest must force 8 virtual devices"
+    mesh = make_mesh(jax.devices()[:8])
+    model = DispNetS()
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step_mesh = make_supervised_train_step(model, "l1", aug=NO_AUG, mesh=mesh, donate=False)
+    step_single = make_supervised_train_step(model, "l1", aug=NO_AUG, donate=False)
+
+    batch_np = _sup_batch(B=8, seed=3)
+    batch_sharded = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+    batch_local = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    s1, m1 = step_mesh(state, batch_sharded)
+    s2, m2 = step_single(state, batch_local)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    # parameters after one step agree between 1-dev and 8-dev execution
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_eval_step_metrics():
+    model = DispNetS()
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    ev = make_eval_step(model)
+    rng = np.random.default_rng(4)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((2, H, W, 3)).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(1, 60, (2, H, W)).astype(np.float32)),
+    }
+    out = ev(state.params, state.batch_stats, batch)
+    for k in ("abs_rel", "rmse", "a1"):
+        assert np.isfinite(float(out[k]))
