@@ -32,8 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def pose_vec_to_snippet(poses_vec: np.ndarray, rotation_mode: str) -> np.ndarray:
-    """(R-1, 6) predicted ref poses + identity tgt -> (R, 3, 4) absolute
-    snippet poses relative to the target (middle) frame."""
+    """(R-1, 6) predicted tgt->ref poses + identity tgt -> (R, 3, 4) snippet
+    poses re-expressed relative to the FIRST frame (reference protocol)."""
     import jax.numpy as jnp
 
     from supervised_dispnet_tpu.ops.warp import pose_vec2mat
@@ -41,14 +41,22 @@ def pose_vec_to_snippet(poses_vec: np.ndarray, rotation_mode: str) -> np.ndarray
     mats = np.asarray(pose_vec2mat(jnp.asarray(poses_vec), rotation_mode))
     R = len(poses_vec) + 1
     mid = R // 2
-    out = []
+    mid_rel = []  # poses relative to the target (middle) frame
     j = 0
     for i in range(R):
         if i == mid:
-            out.append(np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
+            mid_rel.append(np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
         else:
-            out.append(mats[j])
+            mid_rel.append(mats[j])
             j += 1
+    # re-anchor to the first frame: T_first^{-1} @ T_i
+    R0 = mid_rel[0][:, :3]
+    t0 = mid_rel[0][:, 3]
+    out = []
+    for T in mid_rel:
+        Rr = R0.T @ T[:, :3]
+        tr = R0.T @ (T[:, 3] - t0)
+        out.append(np.hstack([Rr, tr[:, None]]))
     return np.stack(out)
 
 

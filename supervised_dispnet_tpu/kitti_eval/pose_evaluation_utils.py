@@ -19,18 +19,22 @@ def read_odometry_poses(pose_file: str | Path) -> np.ndarray:
     return data.reshape(-1, 3, 4)
 
 
-def snippet_from_poses(poses: np.ndarray, indices: np.ndarray) -> np.ndarray:
-    """Extract a snippet of absolute poses re-expressed relative to its
-    middle frame: (len(indices), 3, 4)."""
+def snippet_from_poses(
+    poses: np.ndarray, indices: np.ndarray, relative_to: str = "first"
+) -> np.ndarray:
+    """Extract a snippet of absolute poses re-expressed relative to one of
+    its frames ('first' per the reference protocol, or 'mid'):
+    (len(indices), 3, 4)."""
+    anchor_idx = indices[0] if relative_to == "first" else indices[len(indices) // 2]
+    anchor = poses[anchor_idx]
+    R_a = anchor[:, :3]
+    t_a = anchor[:, 3]
     snippet = []
-    mid = poses[indices[len(indices) // 2]]
-    R_mid = mid[:, :3]
-    t_mid = mid[:, 3]
     for i in indices:
         R = poses[i][:, :3]
         t = poses[i][:, 3]
-        R_rel = R_mid.T @ R
-        t_rel = R_mid.T @ (t - t_mid)
+        R_rel = R_a.T @ R
+        t_rel = R_a.T @ (t - t_a)
         snippet.append(np.hstack([R_rel, t_rel[:, None]]))
     return np.stack(snippet)
 
