@@ -27,6 +27,7 @@ class ConvELU(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: object = None  # compute dtype (bf16 for MXU speed); params stay fp32
 
     @nn.compact
     def __call__(self, x):
@@ -36,6 +37,7 @@ class ConvELU(nn.Module):
             strides=(self.stride, self.stride),
             padding=((self.kernel - 1) // 2, (self.kernel - 1) // 2),
             kernel_init=xavier_uniform,
+            dtype=self.dtype,
         )(x)
         return nn.elu(x)
 
@@ -48,11 +50,12 @@ class DownsampleConv(nn.Module):
 
     features: int
     kernel: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = ConvELU(self.features, self.kernel, stride=2, name="conv_a")(x)
-        x = ConvELU(self.features, self.kernel, stride=1, name="conv_b")(x)
+        x = ConvELU(self.features, self.kernel, stride=2, dtype=self.dtype, name="conv_a")(x)
+        x = ConvELU(self.features, self.kernel, stride=1, dtype=self.dtype, name="conv_b")(x)
         return x
 
 
@@ -63,6 +66,7 @@ class UpConvELU(nn.Module):
     """
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -75,6 +79,7 @@ class UpConvELU(nn.Module):
             strides=(2, 2),
             padding=((1, 2), (1, 2)),
             kernel_init=xavier_uniform,
+            dtype=self.dtype,
         )(x)
         return nn.elu(x)
 
@@ -90,7 +95,9 @@ class DispHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(1, (3, 3), padding=1, kernel_init=xavier_uniform)(x)
+        # head always computes/emits fp32 (disparity feeds 1/d and losses)
+        x = nn.Conv(1, (3, 3), padding=1, kernel_init=xavier_uniform,
+                    dtype=jnp.float32)(x.astype(jnp.float32))
         return self.alpha * nn.sigmoid(x) + self.beta
 
 

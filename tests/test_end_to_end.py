@@ -1,0 +1,131 @@
+"""End-to-end slice: synthetic dumped dataset -> datasets -> Trainer.fit
+(1 epoch) -> orbax checkpoint -> restore -> validation metrics.
+
+Mirrors BASELINE configs 3/5 on tiny shapes (SURVEY.md §7 minimum slice,
+widened to training)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def dump_root(tmp_path_factory):
+    """Two-scene dumped dataset in prepare_train_data layout."""
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("kitti_dump")
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    scenes = ["scene_a", "scene_b"]
+    for s in scenes:
+        d = root / s
+        d.mkdir()
+        np.savetxt(d / "cam.txt", K)
+        for i in range(6):
+            img = (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+            imageio.imwrite(d / f"{i:010d}.jpg", img)
+            depth = rng.uniform(1, 60, (H, W)).astype(np.float32)
+            depth *= rng.uniform(size=(H, W)) > 0.5
+            np.save(d / f"{i:010d}.npy", depth)
+    (root / "train.txt").write_text("scene_a\n")
+    (root / "val.txt").write_text("scene_b\n")
+    return root
+
+
+def test_sequence_folder(dump_root):
+    from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
+
+    ds = SequenceFolder(dump_root, train=True, sequence_length=3, with_depth=True)
+    assert len(ds) == 4  # 6 frames, demi=1 -> indices 1..4
+    s = ds[0]
+    assert s["tgt"].shape == (H, W, 3)
+    assert s["ref_imgs"].shape == (2, H, W, 3)
+    assert s["intrinsics"].shape == (3, 3)
+    assert s["depth"].shape == (H, W)
+    assert 0.0 <= s["tgt"].min() and s["tgt"].max() <= 1.0
+
+
+def test_validation_set(dump_root):
+    from supervised_dispnet_tpu.data.validation_folders import ValidationSet
+
+    ds = ValidationSet(dump_root)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["img"].shape == (H, W, 3)
+    assert s["depth"].shape == (H, W)
+
+
+def test_batch_loader(dump_root):
+    from supervised_dispnet_tpu.data.loader import BatchLoader
+    from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
+
+    ds = SequenceFolder(dump_root, train=True, sequence_length=3, with_depth=True)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["tgt"].shape == (2, H, W, 3)
+    assert batches[0]["ref_imgs"].shape == (2, 2, H, W, 3)
+    # second epoch reshuffles but yields same count
+    assert len(list(loader)) == 2
+
+
+def test_trainer_supervised_end_to_end(dump_root, tmp_path):
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+    from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = TrainerConfig(
+        data=str(dump_root),
+        save_path=str(tmp_path / "exp"),
+        loss="berhu",
+        epochs=1,
+        batch_size=2,
+        workers=2,
+        img_height=H,
+        img_width=W,
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, DispResNet(encoder_depth=18), mesh=mesh)
+    best = trainer.fit()
+    assert np.isfinite(best)
+    # logs written
+    assert (tmp_path / "exp" / "progress_log_full.csv").exists()
+    assert (tmp_path / "exp" / "metrics.jsonl").exists()
+    # checkpoint roundtrip
+    step_before = int(trainer.state.step)
+    restored = restore_checkpoint(tmp_path / "exp", trainer.state)
+    assert int(restored.step) == step_before
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_selfsup_end_to_end(dump_root, tmp_path):
+    from supervised_dispnet_tpu.models import DispResNet, PoseExpNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        data=str(dump_root),
+        save_path=str(tmp_path / "exp_ss"),
+        loss="selfsup",
+        epochs=1,
+        epoch_size=2,
+        batch_size=2,
+        workers=2,
+        img_height=H,
+        img_width=W,
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(
+        cfg, DispResNet(encoder_depth=18), PoseExpNet(nb_ref_imgs=2), mesh=mesh
+    )
+    best = trainer.fit()
+    assert np.isfinite(best)
