@@ -1,15 +1,20 @@
 """Benchmark: KITTI Eigen-split inference throughput, images/sec/chip.
 
 Flagship config: DispResNet-50 forward at the reference eval resolution
-(128 x 416), jitted, steady-state timing with block_until_ready.
+(128 x 416), bfloat16 compute (fp32 params/head), jitted.
+
+Timing protocol: each iteration's scalar output feeds the next iteration's
+input (a true serial dependency chain), and the final scalar is read back
+to the host. This defeats both async-dispatch undercounting and the
+remote-relay execution cache (identical enqueued programs were observed to
+be deduplicated, yielding impossible >1 PFLOP/s readings with naive
+block_until_ready timing).
 
 Prints ONE JSON line:
-  {"metric": "kitti_inference_images_per_sec_per_chip", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
 
 vs_baseline is measured against the single-GPU reference anchor recorded in
-BASELINE.md (no published reference throughput exists; see BASELINE.md for
-provenance of the anchor value).
+BASELINE.md (no published reference throughput exists; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -17,16 +22,15 @@ from __future__ import annotations
 import json
 import time
 
-# Reference anchor: single-GPU (1080Ti-class) PyTorch DispResNet-50 inference
-# at 128x416. No published number exists (BASELINE.json "published": {});
-# this anchor is the estimate documented in BASELINE.md pending measurement
-# on real reference hardware.
+# Reference anchor: single-GPU (1080Ti-class) PyTorch DispResNet-50
+# inference at 128x416 — see BASELINE.md for provenance (estimate; no
+# published number exists, BASELINE.json "published": {}).
 BASELINE_IMAGES_PER_SEC = 150.0
 
 BATCH = 64
 H, W = 128, 416
-WARMUP = 5
-ITERS = 30
+WARMUP = 3
+ITERS = 50
 
 
 def main() -> None:
@@ -35,24 +39,26 @@ def main() -> None:
 
     from supervised_dispnet_tpu.models import DispResNet
 
-    model = DispResNet(encoder_depth=50)
+    model = DispResNet(encoder_depth=50, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, H, W, 3), jnp.float32)
     variables = model.init(rng, x)
 
     @jax.jit
-    def forward(variables, x):
-        return model.apply(variables, x, train=False)[0]
+    def forward(variables, x, s):
+        # s (previous iteration's scalar) feeds the input: serial chain
+        return jnp.sum(model.apply(variables, x + s * 1e-30, train=False)[0])
 
-    # warmup / compile
+    s = jnp.float32(0.0)
     for _ in range(WARMUP):
-        out = forward(variables, x)
-    jax.block_until_ready(out)
+        s = forward(variables, x, s)
+    float(s)
 
+    s = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = forward(variables, x)
-    jax.block_until_ready(out)
+        s = forward(variables, x, s)
+    float(s)  # host readback forces the whole chain
     dt = time.perf_counter() - t0
 
     n_chips = max(1, jax.device_count())

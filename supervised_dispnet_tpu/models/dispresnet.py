@@ -25,10 +25,12 @@ DEC_PLANES = (16, 32, 64, 128, 256)
 
 class _ConvELU3(nn.Module):
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding=1, kernel_init=xavier_uniform)(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, kernel_init=xavier_uniform,
+                    dtype=self.dtype)(x)
         return nn.elu(x)
 
 
@@ -42,16 +44,18 @@ class DispResNet(nn.Module):
     encoder_depth: int = 18
     head: str = "disp"  # 'disp' | 'classification'
     num_bins: int = 64
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params fp32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        enc = ResNetEncoder(self.encoder_depth, name="encoder")(x, train=train)
+        enc = ResNetEncoder(self.encoder_depth, dtype=self.dtype,
+                            name="encoder")(x, train=train)
         # enc: strides [2, 4, 8, 16, 32]
 
         outputs_feats = {}
         h = enc[-1]
         for i in range(4, -1, -1):
-            h = _ConvELU3(DEC_PLANES[i], name=f"upconv{i}_0")(h)
+            h = _ConvELU3(DEC_PLANES[i], dtype=self.dtype, name=f"upconv{i}_0")(h)
             # upsample 2x (bilinear; the reference decoder upsamples with
             # interpolate)
             if i > 0:
@@ -60,14 +64,14 @@ class DispResNet(nn.Module):
                 h = jnp.concatenate([h, target], axis=-1)
             else:
                 h = resize_bilinear(h, x.shape[1], x.shape[2])
-            h = _ConvELU3(DEC_PLANES[i], name=f"upconv{i}_1")(h)
+            h = _ConvELU3(DEC_PLANES[i], dtype=self.dtype, name=f"upconv{i}_1")(h)
             outputs_feats[i] = h
 
         if self.head == "classification":
             logits = nn.Conv(
                 self.num_bins, (3, 3), padding=1,
-                kernel_init=xavier_uniform, name="bin_head",
-            )(outputs_feats[0])
+                kernel_init=xavier_uniform, dtype=jnp.float32, name="bin_head",
+            )(outputs_feats[0].astype(jnp.float32))
             return logits
 
         disps = []

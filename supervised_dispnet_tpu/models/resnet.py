@@ -21,24 +21,26 @@ kaiming_normal = nn.initializers.kaiming_normal()
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name
         )
         identity = x
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, kernel_init=kaiming_normal, name="conv1")(x)
+                    use_bias=False, kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
         h = norm("bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    kernel_init=kaiming_normal, name="conv2")(h)
+                    kernel_init=kaiming_normal, dtype=self.dtype, name="conv2")(h)
         h = norm("bn2")(h)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=kaiming_normal,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
         return nn.relu(h + identity)
 
@@ -47,27 +49,29 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is features * 4
     stride: int = 1
     expansion: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name
         )
         out_ch = self.features * self.expansion
         identity = x
         h = nn.Conv(self.features, (1, 1), use_bias=False,
-                    kernel_init=kaiming_normal, name="conv1")(x)
+                    kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(norm("bn1")(h))
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, kernel_init=kaiming_normal, name="conv2")(h)
+                    use_bias=False, kernel_init=kaiming_normal, dtype=self.dtype, name="conv2")(h)
         h = nn.relu(norm("bn2")(h))
         h = nn.Conv(out_ch, (1, 1), use_bias=False,
-                    kernel_init=kaiming_normal, name="conv3")(h)
+                    kernel_init=kaiming_normal, dtype=self.dtype, name="conv3")(h)
         h = norm("bn3")(h)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=kaiming_normal,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
         return nn.relu(h + identity)
 
@@ -83,6 +87,7 @@ class ResNetEncoder(nn.Module):
     """Returns 5 feature maps at strides 2, 4, 8, 16, 32 (finest first)."""
 
     depth: int = 18
+    dtype: object = None
 
     @property
     def feature_channels(self) -> Sequence[int]:
@@ -93,9 +98,9 @@ class ResNetEncoder(nn.Module):
         block_cls, stage_sizes, _ = RESNET_SPECS[self.depth]
         feats = []
         h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                    kernel_init=kaiming_normal, name="conv1")(x)
+                    kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(h)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         feats.append(h)  # 1/2
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -104,6 +109,7 @@ class ResNetEncoder(nn.Module):
         for stage, (n_blocks, width) in enumerate(zip(stage_sizes, widths)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                h = block_cls(width, stride, name=f"layer{stage + 1}_{b}")(h, train=train)
+                h = block_cls(width, stride, dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(h, train=train)
             feats.append(h)  # 1/4, 1/8, 1/16, 1/32
         return feats

@@ -45,10 +45,13 @@ def test_depth_rides_same_transform():
     )
     d = np.asarray(d)
     assert d.shape == depth.shape
-    # nearest-neighbor: all output values must exist in the input value set
-    vals = set(np.round(depth[depth > 0], 4).tolist())
+    # nearest-neighbor: every output value must exactly match some input
+    # value (no bilinear blending of the sparse map)
+    vals = np.unique(depth[depth > 0])
     out_vals = d[d > 0]
-    assert all(np.round(v, 4) in vals for v in out_vals.tolist())
+    if out_vals.size:
+        dist = np.abs(out_vals[:, None] - vals[None, :]).min(axis=1)
+        assert dist.max() < 1e-6, dist.max()
 
 
 def test_flip_only_mirrors_and_updates_cx():
