@@ -45,7 +45,8 @@ def main(argv: list[str] | None = None) -> None:
         description="Resize + dump KITTI raw for training (reference CLI parity)"
     )
     parser.add_argument("dataset_dir", type=Path)
-    parser.add_argument("--dataset-format", default="kitti", choices=["kitti"])
+    parser.add_argument("--dataset-format", default="kitti",
+                        choices=["kitti", "cityscapes"])
     parser.add_argument("--dump-root", type=Path, required=True)
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=416)
@@ -58,28 +59,36 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--val-frac", type=float, default=0.1)
     args = parser.parse_args(argv)
 
-    from supervised_dispnet_tpu.data.kitti_raw_loader import KittiRawLoader
+    if args.dataset_format == "kitti":
+        from supervised_dispnet_tpu.data.kitti_raw_loader import KittiRawLoader
 
-    loader = KittiRawLoader(
-        args.dataset_dir,
-        static_frames_file=args.static_frames,
-        img_height=args.height,
-        img_width=args.width,
-        get_depth=args.with_depth,
-        get_pose=args.with_pose,
-        test_scene_file=args.test_scenes,
-    )
+        loader = KittiRawLoader(
+            args.dataset_dir,
+            static_frames_file=args.static_frames,
+            img_height=args.height,
+            img_width=args.width,
+            get_depth=args.with_depth,
+            get_pose=args.with_pose,
+            test_scene_file=args.test_scenes,
+        )
+        scenes = [
+            s for drive in loader.scenes for s in loader.collect_scene_data(drive)
+        ]
+    else:
+        from supervised_dispnet_tpu.data.cityscapes_loader import CityscapesLoader
+
+        loader = CityscapesLoader(
+            args.dataset_dir, img_height=args.height, img_width=args.width
+        )
+        scenes = list(loader.collect_scene_data())
     args.dump_root.mkdir(parents=True, exist_ok=True)
 
     from joblib import Parallel, delayed
 
-    names: list[str] = []
-    for drive in loader.scenes:
-        scenes = list(loader.collect_scene_data(drive))
-        results = Parallel(n_jobs=args.num_threads)(
-            delayed(dump_scene)(loader, s, args.dump_root) for s in scenes
-        )
-        names.extend(r for r in results if r)
+    results = Parallel(n_jobs=args.num_threads)(
+        delayed(dump_scene)(loader, s, args.dump_root) for s in scenes
+    )
+    names: list[str] = [r for r in results if r]
 
     rng = np.random.default_rng(8964)
     names = sorted(names)

@@ -1,0 +1,165 @@
+"""ETL tests: synthetic raw-KITTI tree -> prepare_train_data dump;
+cityscapes crawler; static-frame/test-scene exclusion; oxts poses."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def kitti_raw(tmp_path):
+    """Minimal raw-KITTI tree: one date, two drives, calib, oxts, velodyne."""
+    import cv2
+
+    date = "2011_09_26"
+    date_dir = tmp_path / date
+    date_dir.mkdir()
+    H, W = 64, 208
+
+    fx = fy = 100.0
+    cx, cy = W / 2, H / 2
+    P = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]])
+    lines = ["R_rect_00: " + " ".join(map(str, np.eye(3).ravel()))]
+    for cam in (2, 3):
+        lines.append(f"P_rect_0{cam}: " + " ".join(map(str, P.ravel())))
+    (date_dir / "calib_cam_to_cam.txt").write_text("\n".join(lines))
+    R = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], dtype=float)
+    (date_dir / "calib_velo_to_cam.txt").write_text(
+        "R: " + " ".join(map(str, R.ravel())) + "\nT: 0 0 0\n"
+    )
+
+    rng = np.random.default_rng(0)
+    for drive_name in ("0001", "0002"):
+        drive = date_dir / f"{date}_drive_{drive_name}_sync"
+        img_dir = drive / "image_02" / "data"
+        velo_dir = drive / "velodyne_points" / "data"
+        oxts_dir = drive / "oxts" / "data"
+        for d in (img_dir, velo_dir, oxts_dir):
+            d.mkdir(parents=True)
+        for i in range(4):
+            img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"{i:010d}.png"), img)
+            pts = np.hstack([
+                rng.uniform(5, 30, (50, 1)),   # x forward
+                rng.uniform(-5, 5, (50, 1)),   # y
+                rng.uniform(-1, 1, (50, 1)),   # z
+                np.ones((50, 1)),
+            ]).astype(np.float32)
+            pts.tofile(velo_dir / f"{i:010d}.bin")
+            # oxts: lat lon alt roll pitch yaw + padding
+            vals = [49.0 + i * 1e-5, 8.43 + i * 1e-5, 112.0 + 0.01 * i,
+                    0.01, 0.02, 0.1 * i] + [0.0] * 24
+            np.savetxt(oxts_dir / f"{i:010d}.txt", [vals])
+    # static frames: exclude frame 1 of drive 0001
+    sf = tmp_path / "static_frames.txt"
+    sf.write_text(f"{date} {date}_drive_0001_sync 0000000001\n")
+    # test scenes: exclude drive 0002 entirely
+    ts = tmp_path / "test_scenes.txt"
+    ts.write_text(f"{date}_drive_0002_sync\n")
+    return tmp_path
+
+
+def test_kitti_raw_loader_crawl_and_exclusions(kitti_raw):
+    from supervised_dispnet_tpu.data.kitti_raw_loader import KittiRawLoader
+
+    loader = KittiRawLoader(
+        kitti_raw,
+        static_frames_file=kitti_raw / "static_frames.txt",
+        test_scene_file=kitti_raw / "test_scenes.txt",
+        img_height=32, img_width=104,
+        get_depth=True, get_pose=True,
+    )
+    assert len(loader.scenes) == 1  # drive 0002 excluded
+    scenes = list(loader.collect_scene_data(loader.scenes[0]))
+    assert len(scenes) == 1  # left cam only by default
+    s = scenes[0]
+    assert len(s["frames"]) == 3  # frame 1 static-excluded
+    assert s["intrinsics"].shape == (3, 3)
+    assert s["poses"].shape == (4, 3, 4)
+    # first pose is identity (origin-relative)
+    np.testing.assert_allclose(s["poses"][0], np.hstack([np.eye(3), np.zeros((3, 1))]),
+                               atol=1e-9)
+
+    img, K, orig = loader.load_image(s, 0)
+    assert img.shape == (32, 104, 3)
+    # intrinsics rescaled by zoom factors
+    np.testing.assert_allclose(K[0, 0], 100.0 * 104 / 208, rtol=1e-6)
+    np.testing.assert_allclose(K[1, 1], 100.0 * 32 / 64, rtol=1e-6)
+
+    depth = loader.get_depth_map(s, 0)
+    assert depth.shape == (32, 104)
+    assert (depth > 0).any()
+    assert depth.max() <= 30.5
+
+
+def test_prepare_train_data_cli(kitti_raw, tmp_path):
+    from supervised_dispnet_tpu.data.prepare_train_data import main
+
+    dump = tmp_path / "dump"
+    main([
+        str(kitti_raw), "--dump-root", str(dump),
+        "--height", "32", "--width", "104",
+        "--static-frames", str(kitti_raw / "static_frames.txt"),
+        "--test-scenes", str(kitti_raw / "test_scenes.txt"),
+        "--with-depth", "--num-threads", "1", "--val-frac", "0.5",
+    ])
+    scene_dir = dump / "2011_09_26_drive_0001_sync_02"
+    assert scene_dir.exists()
+    assert (scene_dir / "cam.txt").exists()
+    jpgs = sorted(scene_dir.glob("*.jpg"))
+    npys = sorted(scene_dir.glob("*.npy"))
+    assert len(jpgs) == 3 and len(npys) == 3
+    assert (dump / "train.txt").exists() and (dump / "val.txt").exists()
+    K = np.genfromtxt(scene_dir / "cam.txt")
+    assert K.shape == (3, 3)
+
+
+def test_oxts_pose_translation_direction(kitti_raw):
+    from supervised_dispnet_tpu.data.kitti_raw_loader import oxts_to_pose
+
+    oxts_dir = (kitti_raw / "2011_09_26" / "2011_09_26_drive_0001_sync"
+                / "oxts" / "data")
+    poses = oxts_to_pose(sorted(oxts_dir.glob("*.txt")))
+    assert poses.shape == (4, 3, 4)
+    # translations grow monotonically away from origin
+    norms = np.linalg.norm(poses[:, :, 3], axis=1)
+    assert norms[0] == pytest.approx(0.0, abs=1e-9)
+    assert (np.diff(norms) > 0).all()
+
+
+@pytest.fixture
+def cityscapes_tree(tmp_path):
+    import cv2
+
+    root = tmp_path / "cs"
+    img_dir = root / "leftImg8bit_sequence" / "train" / "aachen"
+    cam_dir = root / "camera" / "train" / "aachen"
+    img_dir.mkdir(parents=True)
+    cam_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for seq in ("000000",):
+        for i in range(3):
+            stem = f"aachen_{seq}_{i:06d}_leftImg8bit"
+            cv2.imwrite(str(img_dir / f"{stem}.png"),
+                        rng.uniform(0, 255, (64, 128, 3)).astype(np.uint8))
+            cam = {"intrinsic": {"fx": 2262.52, "fy": 2265.3,
+                                 "u0": 1096.98, "v0": 513.137}}
+            (cam_dir / f"aachen_{seq}_{i:06d}_camera.json").write_text(
+                json.dumps(cam))
+    return root
+
+
+def test_cityscapes_loader(cityscapes_tree):
+    from supervised_dispnet_tpu.data.cityscapes_loader import CityscapesLoader
+
+    loader = CityscapesLoader(cityscapes_tree, img_height=32, img_width=64)
+    scenes = list(loader.collect_scene_data())
+    assert len(scenes) == 1
+    s = scenes[0]
+    assert len(s["frames"]) == 3
+    img, K, orig = loader.load_image(s, 0)
+    assert img.shape == (32, 64, 3)
+    assert K[0, 0] == pytest.approx(2262.52 * 64 / 128, rel=1e-6)
+    # vertical zoom accounts for the hood crop (64 * 0.75 = 48 rows kept)
+    assert K[1, 1] == pytest.approx(2265.3 * 32 / 48, rel=1e-6)
