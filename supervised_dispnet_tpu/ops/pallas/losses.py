@@ -74,19 +74,27 @@ def _ce_kernel(logits_ref, labels_ref, mask_ref, out_ref, acc_ref):
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
         out_ref[0, 0] = acc_ref[0, 0] / jnp.maximum(acc_ref[0, 1], 1.0)
+        out_ref[0, 1] = acc_ref[0, 1]
 
 
-def depth_classification_loss_pallas(
-    logits: jax.Array,
-    gt_depth: jax.Array,
-    mask: jax.Array,
-    bins,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Fused masked CE over depth bins. Same semantics as
-    ``losses.classification.depth_classification_loss``."""
-    if interpret is None:
-        interpret = not _is_tpu()
+def _ce_bwd_kernel(logits_ref, labels_ref, mask_ref, scale_ref, dlogits_ref):
+    """dL/dlogits = (softmax - onehot) * mask * (g / count), streamed."""
+    logits = logits_ref[:].astype(jnp.float32)
+    labels = labels_ref[:]
+    mask = mask_ref[:].astype(jnp.float32)
+    scale = scale_ref[0, 0]  # g / count
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    onehot = (k_iota == labels).astype(jnp.float32)
+    dlogits_ref[:] = (p - onehot) * mask * scale
+
+
+def _ce_prepare(logits, gt_depth, mask, bins):
+    """Flatten + pad inputs for the CE kernels. Returns padded arrays and
+    static shape info."""
     K = logits.shape[-1]
     Kp = ((K + LANES - 1) // LANES) * LANES
     labels = bins.depth_to_index(gt_depth)
@@ -102,9 +110,11 @@ def depth_classification_loss_pallas(
     flat_logits = _pad_rows(flat_logits, BLOCK_ROWS, fill=-1e30)
     flat_labels = _pad_rows(flat_labels, BLOCK_ROWS, fill=0)
     flat_mask = _pad_rows(flat_mask, BLOCK_ROWS, fill=0.0)
-    np_ = flat_logits.shape[0]
-    grid = np_ // BLOCK_ROWS
+    return flat_logits, flat_labels, flat_mask, n, K, Kp
 
+
+def _ce_forward(flat_logits, flat_labels, flat_mask, Kp, interpret):
+    grid = flat_logits.shape[0] // BLOCK_ROWS
     out = pl.pallas_call(
         _ce_kernel,
         grid=(grid,),
@@ -122,7 +132,68 @@ def depth_classification_loss_pallas(
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         interpret=interpret,
     )(flat_logits, flat_labels, flat_mask)
-    return out[0, 0]
+    return out[0, 0], out[0, 1]
+
+
+def depth_classification_loss_pallas(
+    logits: jax.Array,
+    gt_depth: jax.Array,
+    mask: jax.Array,
+    bins,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused masked CE over depth bins (differentiable w.r.t. logits via a
+    Pallas backward kernel). Same semantics as
+    ``losses.classification.depth_classification_loss``."""
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    @jax.custom_vjp
+    def ce(logits):
+        flat_logits, flat_labels, flat_mask, n, K, Kp = _ce_prepare(
+            logits, gt_depth, mask, bins)
+        loss, _ = _ce_forward(flat_logits, flat_labels, flat_mask, Kp, interpret)
+        return loss
+
+    def ce_fwd(logits):
+        flat_logits, flat_labels, flat_mask, n, K, Kp = _ce_prepare(
+            logits, gt_depth, mask, bins)
+        loss, count = _ce_forward(flat_logits, flat_labels, flat_mask, Kp,
+                                  interpret)
+        return loss, (flat_logits, flat_labels, flat_mask, count, logits.shape)
+
+    def ce_bwd(res, g):
+        flat_logits, flat_labels, flat_mask, count, orig_shape = res
+        K = orig_shape[-1]
+        Kp = flat_logits.shape[1]
+        grid = flat_logits.shape[0] // BLOCK_ROWS
+        scale = (g / jnp.maximum(count, 1.0)).reshape(1, 1)
+        dflat = pl.pallas_call(
+            _ce_bwd_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((BLOCK_ROWS, Kp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_ROWS, Kp), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(flat_logits.shape, jnp.float32),
+            interpret=interpret,
+        )(flat_logits, flat_labels, flat_mask, scale)
+        n = 1
+        for d in orig_shape[:-1]:
+            n *= d
+        dlogits = dflat[:n, :K].reshape(orig_shape)
+        return (dlogits.astype(jnp.float32),)
+
+    ce.defvjp(ce_fwd, ce_bwd)
+    return ce(logits)
 
 
 # ---------------------------------------------------------------------------
@@ -160,29 +231,22 @@ def _berhu_kernel(diff_ref, mask_ref, out_ref, acc_ref, *, c_frac):
     @pl.when(i == n - 1)
     def _():
         out_ref[0, 0] = acc_ref[0, 1] / jnp.maximum(acc_ref[0, 2], 1.0)
+        out_ref[0, 1] = acc_ref[0, 2]  # count
+        out_ref[0, 2] = jnp.maximum(c_frac * acc_ref[0, 0], 1e-6)  # c
 
 
-def berhu_loss_pallas(
-    pred: jax.Array,
-    gt: jax.Array,
-    mask: jax.Array,
-    c_frac: float = 0.2,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Fused masked BerHu (adaptive threshold). Same semantics as
-    ``losses.supervised.berhu_loss`` (the diff map is streamed from HBM
-    twice inside one kernel instead of two separate XLA reductions)."""
-    if interpret is None:
-        interpret = not _is_tpu()
-    diff = (pred - gt).astype(jnp.float32).reshape(-1)
-    m = mask.astype(jnp.float32).reshape(-1)
-    n = diff.shape[0]
-    block = BLOCK_ROWS * LANES
-    diff = _pad_rows(diff, block).reshape(-1, LANES)
-    m = _pad_rows(m, block).reshape(-1, LANES)
-    n_blocks = diff.shape[0] // BLOCK_ROWS
+def _berhu_bwd_kernel(diff_ref, mask_ref, scalars_ref, ddiff_ref):
+    """dL/dd = mask * (sign(d) if |d|<=c else d/c) * (g / count)."""
+    d = diff_ref[:].astype(jnp.float32) * mask_ref[:].astype(jnp.float32)
+    c = scalars_ref[0, 0]
+    scale = scalars_ref[0, 1]
+    grad = jnp.where(jnp.abs(d) <= c, jnp.sign(d), d / c)
+    ddiff_ref[:] = grad * mask_ref[:].astype(jnp.float32) * scale
+
+
+def _berhu_forward(diff2d, m2d, c_frac, interpret):
+    n_blocks = diff2d.shape[0] // BLOCK_ROWS
     grid = 2 * n_blocks  # phase 0 then phase 1 over the same blocks
-
     out = pl.pallas_call(
         functools.partial(_berhu_kernel, c_frac=c_frac),
         grid=(grid,),
@@ -192,10 +256,77 @@ def berhu_loss_pallas(
             pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i % n_blocks, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 3), jnp.float32)],
         interpret=interpret,
-    )(diff, m)
-    return out[0, 0]
+    )(diff2d, m2d)
+    return out[0, 0], out[0, 1], out[0, 2]
+
+
+def berhu_loss_pallas(
+    pred: jax.Array,
+    gt: jax.Array,
+    mask: jax.Array,
+    c_frac: float = 0.2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused masked BerHu (adaptive threshold), differentiable w.r.t. pred
+    via a Pallas backward kernel (c is stop-gradient like the XLA version).
+    Same semantics as ``losses.supervised.berhu_loss``; the diff map is
+    streamed from HBM twice inside one kernel instead of separate XLA
+    reductions."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    orig_shape = pred.shape
+    block = BLOCK_ROWS * LANES
+
+    def prep(diff_flat, m_flat):
+        d2 = _pad_rows(diff_flat, block).reshape(-1, LANES)
+        m2 = _pad_rows(m_flat, block).reshape(-1, LANES)
+        return d2, m2
+
+    @jax.custom_vjp
+    def berhu(pred, gt):
+        diff = (pred - gt).astype(jnp.float32).reshape(-1)
+        m = mask.astype(jnp.float32).reshape(-1)
+        d2, m2 = prep(diff, m)
+        loss, _, _ = _berhu_forward(d2, m2, c_frac, interpret)
+        return loss
+
+    def berhu_fwd(pred, gt):
+        diff = (pred - gt).astype(jnp.float32).reshape(-1)
+        m = mask.astype(jnp.float32).reshape(-1)
+        d2, m2 = prep(diff, m)
+        loss, count, c = _berhu_forward(d2, m2, c_frac, interpret)
+        return loss, (d2, m2, count, c)
+
+    def berhu_bwd(res, g):
+        d2, m2, count, c = res
+        scalars = jnp.stack([c, g / jnp.maximum(count, 1.0)]).reshape(1, 2)
+        n_blocks = d2.shape[0] // BLOCK_ROWS
+        dd2 = pl.pallas_call(
+            _berhu_bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(d2.shape, jnp.float32),
+            interpret=interpret,
+        )(d2, m2, scalars)
+        n = 1
+        for s in orig_shape:
+            n *= s
+        dpred = dd2.reshape(-1)[:n].reshape(orig_shape)
+        return dpred, -dpred
+
+    berhu.defvjp(berhu_fwd, berhu_bwd)
+    return berhu(pred, gt)

@@ -59,3 +59,37 @@ def test_ce_pallas_nonpadded_bins():
     got = float(depth_classification_loss_pallas(logits, gt, mask, bins,
                                                  interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_berhu_pallas_grad_matches_xla():
+    import jax
+
+    gt, pred, mask = _depth_pair(seed=5)
+
+    def xla_fn(p):
+        return berhu_loss(p, gt, mask)
+
+    def pallas_fn(p):
+        return berhu_loss_pallas(p, gt, mask, interpret=True)
+
+    g_ref = jax.grad(xla_fn)(pred)
+    g_got = jax.grad(pallas_fn)(pred)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_ce_pallas_grad_matches_xla():
+    import jax
+
+    B, H, W, K = 1, 8, 16, 64
+    bins = DepthBins(num_bins=K)
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.standard_normal((B, H, W, K)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(1, 80, (B, H, W)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(B, H, W)) > 0.4)
+
+    g_ref = jax.grad(lambda l: depth_classification_loss(l, gt, mask, bins))(logits)
+    g_got = jax.grad(lambda l: depth_classification_loss_pallas(
+        l, gt, mask, bins, interpret=True))(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
