@@ -20,9 +20,9 @@ def tensor2array(
             max_value = float(arr.max()) or 1.0
         norm = np.clip(arr / max_value, 0, 1)
         try:
-            import matplotlib.cm as cm
+            import matplotlib
 
-            rgba = cm.get_cmap(colormap)(norm)
+            rgba = matplotlib.colormaps[colormap](norm)
         except Exception:
             rgba = np.stack([norm, norm, norm, np.ones_like(norm)], -1)
         return rgba[..., :3].astype(np.float32)

@@ -1,0 +1,104 @@
+"""CLI smoke tests: run_inference and test_disp end-to-end with a converted
+torch fixture checkpoint (BASELINE config 1 shape: pretrained checkpoint ->
+inference/eval, no training)."""
+
+import numpy as np
+import pytest
+import torch
+
+
+@pytest.fixture(scope="module")
+def torch_ckpt(tmp_path_factory):
+    from tests.torch_ref import TorchDispNetS
+
+    torch.manual_seed(0)
+    model = TorchDispNetS()
+    path = tmp_path_factory.mktemp("ckpt") / "dispnet_model_best.pth.tar"
+    torch.save({"epoch": 1, "state_dict": model.state_dict()}, path)
+    return path
+
+
+def test_run_inference_cli(torch_ckpt, tmp_path):
+    import cv2
+
+    from supervised_dispnet_tpu.cli.run_inference import main
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(src / f"img{i}.png"),
+                    rng.uniform(0, 255, (64, 208, 3)).astype(np.uint8))
+    out = tmp_path / "out"
+    main([
+        "--pretrained", str(torch_ckpt), "--network", "dispnet",
+        "--dataset-dir", str(src), "--output-dir", str(out),
+        "--img-height", "32", "--img-width", "104",
+        "--output-disp", "--output-depth", "--save-npy",
+    ])
+    assert (out / "img0_disp.png").exists()
+    assert (out / "img0_depth.png").exists()
+    depth = np.load(out / "img1_depth.npy")
+    assert depth.shape == (32, 104)
+    assert (depth > 0).all()
+
+
+@pytest.fixture
+def kitti_raw_eval(tmp_path):
+    """Raw-KITTI-shaped tree for the Eigen eval CLI."""
+    import cv2
+
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    root = tmp_path / "raw"
+    date_dir = root / date
+    img_dir = date_dir / drive / "image_02" / "data"
+    velo_dir = date_dir / drive / "velodyne_points" / "data"
+    img_dir.mkdir(parents=True)
+    velo_dir.mkdir(parents=True)
+
+    H, W = 64, 208
+    fx = fy = 100.0
+    P = np.array([[fx, 0, W / 2, 0], [0, fy, H / 2, 0], [0, 0, 1, 0]])
+    lines = ["R_rect_00: " + " ".join(map(str, np.eye(3).ravel())),
+             "P_rect_02: " + " ".join(map(str, P.ravel()))]
+    (date_dir / "calib_cam_to_cam.txt").write_text("\n".join(lines))
+    R = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], dtype=float)
+    (date_dir / "calib_velo_to_cam.txt").write_text(
+        "R: " + " ".join(map(str, R.ravel())) + "\nT: 0 0 0\n")
+
+    rng = np.random.default_rng(1)
+    test_list = []
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"{i:010d}.png"),
+                    rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+        pts = np.hstack([
+            rng.uniform(5, 60, (300, 1)),
+            rng.uniform(-6, 6, (300, 1)),
+            rng.uniform(-2, 0.5, (300, 1)),
+            np.ones((300, 1)),
+        ]).astype(np.float32)
+        pts.tofile(velo_dir / f"{i:010d}.bin")
+        test_list.append(f"{date}/{drive}/image_02/data/{i:010d}.png")
+    list_file = tmp_path / "test_files.txt"
+    list_file.write_text("\n".join(test_list))
+    return root, list_file
+
+
+def test_test_disp_cli(torch_ckpt, kitti_raw_eval, capsys):
+    from supervised_dispnet_tpu.cli.test_disp import main
+
+    root, list_file = kitti_raw_eval
+    main([
+        "--pretrained-dispnet", str(torch_ckpt), "--network", "dispnet",
+        "--dataset-dir", str(root), "--dataset-list", str(list_file),
+        "--img-height", "32", "--img-width", "104",
+        "--median-scaling", "--batch-size", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "abs_rel" in out
+    # metrics parse as finite floats
+    last = out.strip().splitlines()[-1]
+    vals = [float(v) for v in last.split()]
+    assert len(vals) == 7
+    assert all(np.isfinite(vals))
