@@ -29,7 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_P = 256  # output pixels per grid step
+# output pixels per grid step; coords ride (ROWS, 128) f32 tiles
+BLOCK_ROWS = 8
+LANES = 128
+BLOCK_P = BLOCK_ROWS * LANES  # 1024
 
 
 def _is_tpu() -> bool:
@@ -75,7 +78,10 @@ def _row_gather(img2d, yidx, H):
     P = yidx.shape[0]
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1)
     A = (h_iota == yidx[:, None]).astype(jnp.float32)
-    return jnp.dot(A, img2d, preferred_element_type=jnp.float32)
+    # HIGHEST: one-hot selection must be exact — default MXU bf16 rounding
+    # would corrupt the gathered pixels by ~1e-2
+    return jnp.dot(A, img2d, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _col_select(rows, xidx, wx, W, C):
@@ -107,8 +113,8 @@ def _corners(img2d, x, y, H, W, C, padding_mode):
 
 def _fwd_kernel(img_ref, x_ref, y_ref, out_ref, *, H, W, C, padding_mode):
     img2d = img_ref[0].astype(jnp.float32)  # (H, W*C)
-    x = x_ref[0].astype(jnp.float32)  # (BLOCK,)
-    y = y_ref[0].astype(jnp.float32)
+    x = x_ref[0].astype(jnp.float32).reshape(BLOCK_P)  # (ROWS, 128) -> flat
+    y = y_ref[0].astype(jnp.float32).reshape(BLOCK_P)
     (c00, c01, c10, c11), (wx0, wx1, wy0, wy1) = _corners(
         img2d, x, y, H, W, C, padding_mode)
     out = (
@@ -125,9 +131,9 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
     p = pl.program_id(1)
 
     img2d = img_ref[0].astype(jnp.float32)
-    x = x_ref[0].astype(jnp.float32)
-    y = y_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)  # (BLOCK, C)
+    x = x_ref[0].astype(jnp.float32).reshape(BLOCK_P)
+    y = y_ref[0].astype(jnp.float32).reshape(BLOCK_P)
+    g = g_ref[0].astype(jnp.float32)  # (BLOCK_P, C)
 
     x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _corner_setup(x, y, H, W, padding_mode)
     P = x.shape[0]
@@ -150,8 +156,8 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
         # clip saturates outside [0, dim-1]: d clip/d coord = 0 there
         dx = dx * ((x >= 0) & (x <= W - 1)).astype(jnp.float32)
         dy = dy * ((y >= 0) & (y <= H - 1)).astype(jnp.float32)
-    dx_ref[0] = dx
-    dy_ref[0] = dy
+    dx_ref[0] = dx.reshape(BLOCK_ROWS, LANES)
+    dy_ref[0] = dy.reshape(BLOCK_ROWS, LANES)
 
     # ---- image gradient: scatter = A^T @ (column-scattered cotangent) ----
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1)
@@ -170,8 +176,10 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
     d_rows0 = g_cols * (m_x0 * (wy0 * wx0)[:, None] + m_x1 * (wy0 * wx1)[:, None])
     d_rows1 = g_cols * (m_x0 * (wy1 * wx0)[:, None] + m_x1 * (wy1 * wx1)[:, None])
     dimg = (
-        jnp.dot(A0.T, d_rows0, preferred_element_type=jnp.float32)
-        + jnp.dot(A1.T, d_rows1, preferred_element_type=jnp.float32)
+        jnp.dot(A0.T, d_rows0, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(A1.T, d_rows1, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     )
 
     @pl.when(p == 0)
@@ -217,6 +225,9 @@ def bilinear_sample_pallas(
     yf = _pad_to(y.reshape(B, P).astype(jnp.float32), BLOCK_P)
     Pp = xf.shape[1]
     n_blocks = Pp // BLOCK_P
+    # coords as (B, Pp/128, 128) so blocks tile as (ROWS, LANES)
+    xf = xf.reshape(B, Pp // LANES, LANES)
+    yf = yf.reshape(B, Pp // LANES, LANES)
 
     kernel_fwd = functools.partial(
         _fwd_kernel, H=H, W=W, C=C, padding_mode=padding_mode)
@@ -231,14 +242,16 @@ def bilinear_sample_pallas(
             in_specs=[
                 pl.BlockSpec((1, H, W * C), lambda b, p: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_P), lambda b, p: (b, p),
+                pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_P), lambda b, p: (b, p),
+                pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, BLOCK_P, C), lambda b, p: (b, p, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, Pp, C), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(img2d, xf, yf)
 
@@ -257,9 +270,9 @@ def bilinear_sample_pallas(
             in_specs=[
                 pl.BlockSpec((1, H, W * C), lambda b, p: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_P), lambda b, p: (b, p),
+                pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_P), lambda b, p: (b, p),
+                pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BLOCK_P, C), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
@@ -267,19 +280,21 @@ def bilinear_sample_pallas(
             out_specs=(
                 pl.BlockSpec((1, H, W * C), lambda b, p: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_P), lambda b, p: (b, p),
+                pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK_P), lambda b, p: (b, p),
+                pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((B, H, W * C), jnp.float32),
-                jax.ShapeDtypeStruct((B, Pp), jnp.float32),
-                jax.ShapeDtypeStruct((B, Pp), jnp.float32),
+                jax.ShapeDtypeStruct((B, Pp // LANES, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((B, Pp // LANES, LANES), jnp.float32),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(img2d, xf, yf, g.astype(jnp.float32))
-        return dimg2d, dx, dy
+        return dimg2d, dx.reshape(B, -1), dy.reshape(B, -1)
 
     sample.defvjp(sample_fwd, sample_bwd)
 

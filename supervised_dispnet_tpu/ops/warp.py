@@ -158,6 +158,7 @@ def inverse_warp(
     intrinsics: jax.Array,
     rotation_mode: str = "euler",
     padding_mode: str = "zeros",
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Inverse-warp a source image to the target frame.
 
@@ -168,6 +169,8 @@ def inverse_warp(
       intrinsics: (B, 3, 3).
       rotation_mode: 'euler' | 'quat'.
       padding_mode: 'zeros' | 'border' for out-of-view samples.
+      use_pallas: sample with the Pallas MXU-gather kernel
+        (ops/pallas/warp.py) instead of the XLA gather path.
 
     Returns:
       (warped, valid): warped (B, H, W, C) source image resampled at the
@@ -180,5 +183,10 @@ def inverse_warp(
     # K @ [R|t]: rot part (B,3,3), translation part (B,3,1)
     proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
     x, y, valid = cam2pixel(cam_coords, proj[:, :, :3], proj[:, :, 3:])
-    warped = bilinear_sample(img, x, y, padding_mode=padding_mode)
+    if use_pallas:
+        from supervised_dispnet_tpu.ops.pallas.warp import bilinear_sample_pallas
+
+        warped = bilinear_sample_pallas(img, x, y, padding_mode=padding_mode)
+    else:
+        warped = bilinear_sample(img, x, y, padding_mode=padding_mode)
     return warped, valid
