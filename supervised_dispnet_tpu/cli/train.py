@@ -58,11 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--img-height", type=int, default=128)
     p.add_argument("--img-width", type=int, default=416)
+    p.add_argument("--use-pallas-warp", action="store_true",
+                   help="use the Pallas MXU-gather sampler in the "
+                        "photometric loss (self-supervised)")
+    p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("-f", "--training-output-freq", type=int, default=0,
+                   help="log disp images to tensorboard every N iters")
     p.add_argument("--name", default="exp", help="experiment name")
     p.add_argument("--checkpoints-dir", default="checkpoints")
     p.add_argument("--pretrained-disp", default=None,
                    help="torch .pth.tar or orbax dir to initialize the disp net")
-    p.add_argument("--pretrained-exppose", default=None)
+    p.add_argument("--pretrained-exppose", default=None,
+                   help="torch exp_pose .pth.tar to initialize the pose net")
+    p.add_argument("--pretrained-encoder", default=None,
+                   help="torchvision resnet .pth state_dict for ImageNet "
+                        "encoder init (disp_res_* networks)")
     return p
 
 
@@ -100,6 +110,9 @@ def main(argv: list[str] | None = None) -> None:
         seed=args.seed,
         img_height=args.img_height,
         img_width=args.img_width,
+        use_pallas_warp=args.use_pallas_warp,
+        debug_nans=args.debug_nans,
+        training_output_freq=args.training_output_freq,
     )
 
     head = "classification" if args.loss == "classification" else "disp"
@@ -113,6 +126,11 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.pretrained_disp:
         _load_pretrained_disp(trainer, args.pretrained_disp, args.network)
+    if args.pretrained_encoder:
+        _load_pretrained_encoder(trainer, args.pretrained_encoder, args.network)
+    if args.pretrained_exppose:
+        _load_pretrained_exppose(trainer, args.pretrained_exppose,
+                                 args.mask_loss_weight > 0)
 
     print(f"=> saving to {save_path}")
     best = trainer.fit()
@@ -140,6 +158,40 @@ def _load_pretrained_disp(trainer, path: str, network: str) -> None:
         raise NotImplementedError(
             f"torch conversion for {network} not wired into the CLI yet"
         )
+
+
+def _load_pretrained_encoder(trainer, path: str, network: str) -> None:
+    """ImageNet init: torchvision resnet state_dict -> our encoder subtree
+    (reference: DispResNet's optional torchvision pretrained encoder)."""
+    if not network.startswith("disp_res"):
+        raise ValueError("--pretrained-encoder applies to disp_res_* networks")
+    depth = 50 if network.endswith("50") else 18
+    from supervised_dispnet_tpu.utils.checkpoint import (
+        convert_resnet_encoder, load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(path)
+    enc_params, enc_stats = convert_resnet_encoder(sd, depth=depth)
+    disp_params = dict(trainer.state.params["disp"])
+    disp_params["encoder"] = enc_params
+    disp_stats = dict(trainer.state.batch_stats["disp"])
+    disp_stats["encoder"] = enc_stats
+    trainer.state = trainer.state.replace(
+        params={**trainer.state.params, "disp": disp_params},
+        batch_stats={**trainer.state.batch_stats, "disp": disp_stats},
+    )
+
+
+def _load_pretrained_exppose(trainer, path: str, output_exp: bool) -> None:
+    from supervised_dispnet_tpu.utils.checkpoint import (
+        convert_pose_exp_net, load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(path)
+    trainer.state = trainer.state.replace(
+        params={**trainer.state.params,
+                "pose": convert_pose_exp_net(sd, output_exp=output_exp)}
+    )
 
 
 if __name__ == "__main__":

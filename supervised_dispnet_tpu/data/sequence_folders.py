@@ -27,6 +27,16 @@ import numpy as np
 
 
 def load_as_float(path: Path) -> np.ndarray:
+    """Decode an image to float32 RGB. cv2 first (SIMD decode, releases the
+    GIL — matters for the threaded BatchLoader), imageio fallback."""
+    try:
+        import cv2
+
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is not None:
+            return img[:, :, ::-1].astype(np.float32)
+    except ImportError:
+        pass
     import imageio.v2 as imageio
 
     return imageio.imread(path).astype(np.float32)

@@ -36,6 +36,7 @@ def photometric_reconstruction_loss(
     pose: jax.Array,
     rotation_mode: str = "euler",
     padding_mode: str = "zeros",
+    use_pallas_warp: bool = False,
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Multi-scale photometric L1 between target and inverse-warped refs.
 
@@ -66,6 +67,7 @@ def photometric_reconstruction_loss(
             warped, valid = inverse_warp(
                 ref, depth, pose[:, r], K_s,
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
+                use_pallas=use_pallas_warp,
             )
             diff = (tgt_s - warped) * valid[..., None].astype(tgt_s.dtype)
             if explainability_masks is not None:

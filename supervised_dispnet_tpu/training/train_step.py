@@ -197,6 +197,7 @@ def make_selfsup_train_step(
     num_scales: int = 4,
     mesh=None,
     donate: bool = True,
+    use_pallas_warp: bool = False,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights).
@@ -230,6 +231,7 @@ def make_selfsup_train_step(
             photo, _ = photometric_reconstruction_loss(
                 tgt, refs, K, depths, exp_masks, pose,
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
+                use_pallas_warp=use_pallas_warp,
             )
             exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
             smooth = smooth_loss(disps)

@@ -65,6 +65,12 @@ class TrainerConfig:
     img_height: int = 128
     img_width: int = 416
     with_exp_mask: bool = True
+    use_pallas_warp: bool = False  # MXU-gather Pallas sampler in photometric
+    debug_nans: bool = False  # jax nan-checker (SURVEY aux: sanitizers)
+    training_output_freq: int = 0  # tensorboard disp images every N iters
+    #   (reference: train.py --training-output-freq)
+    resume: bool = False  # auto-resume from the latest checkpoint in
+    #   save_path (exact: params + optimizer + PRNG + step)
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -88,6 +94,11 @@ class Trainer:
         self.disp_model = disp_model
         self.pose_model = pose_model
         self.mesh = mesh if mesh is not None else make_mesh()
+        if cfg.debug_nans:
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
+        self.tb = None
         self.selfsup = cfg.loss == "selfsup"
         self.classification = cfg.loss == "classification"
         self.bins = DepthBins(num_bins=cfg.num_bins, max_depth=cfg.max_depth)
@@ -113,6 +124,7 @@ class Trainer:
                 rotation_mode=cfg.rotation_mode,
                 padding_mode=cfg.padding_mode,
                 aug=self.aug, mesh=self.mesh,
+                use_pallas_warp=cfg.use_pallas_warp,
             )
         else:
             self.train_step = make_supervised_train_step(
@@ -123,6 +135,22 @@ class Trainer:
             disp_model, classification=self.classification, bins=self.bins,
             max_depth=cfg.max_depth, mesh=self.mesh,
         )
+
+        import jax as _jax
+
+        def _viz_forward(params, batch_stats, img):
+            from supervised_dispnet_tpu.training.train_step import _apply
+            out, _ = _apply(disp_model, params["disp"], batch_stats["disp"],
+                            img, train=False)
+            if self.classification:
+                from supervised_dispnet_tpu.losses import logits_to_depth
+                depth = logits_to_depth(out, self.bins)
+                return 1.0 / jnp.maximum(depth, 1e-3)
+            if isinstance(out, (list, tuple)):
+                return out[0][..., 0]
+            return 1.0 / jnp.maximum(out[..., 0], 1e-3)
+
+        self._viz_forward = _jax.jit(_viz_forward)
 
     # -- data ---------------------------------------------------------------
     def make_loaders(self):
@@ -181,7 +209,25 @@ class Trainer:
                 i, f"batch {t_batch} data {t_data} loss {meter}"
             )
             jsonl.log(event="train_iter", step=int(self.state.step), loss=loss)
+            freq = self.cfg.training_output_freq
+            if self.tb is not None and freq and i % freq == 0:
+                self._log_images(np_batch, int(self.state.step))
         return meter.avg[0]
+
+    def _log_images(self, np_batch, step: int):
+        """Disparity image dumps (reference: tensorboard train output
+        images every --training-output-freq iters)."""
+        from supervised_dispnet_tpu.data.augment import normalize_images
+        from supervised_dispnet_tpu.utils.viz import tensor2array
+
+        img = np_batch["tgt"][:1]
+        disp = np.asarray(self._viz_forward(
+            self.state.params, self.state.batch_stats,
+            normalize_images(jnp.asarray(img), self.aug.mean, self.aug.std),
+        ))[0]
+        self.tb.add_image(
+            "train/disp", tensor2array(disp).transpose(2, 0, 1), step)
+        self.tb.add_image("train/input", img[0].transpose(2, 0, 1), step)
 
     def validate(self, loader, logger: TermLogger):
         """validate_with_gt (reference: ``train.py::validate_with_gt``)."""
@@ -203,10 +249,23 @@ class Trainer:
     def fit(self):
         cfg = self.cfg
         save_path = Path(cfg.save_path)
+        start_epoch = 0
+        if cfg.resume:
+            try:
+                from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+
+                self.state = restore_checkpoint(save_path, self.state)
+                start_epoch = int(self.state.step) // max(
+                    1, cfg.epoch_size or 1)
+                print(f"=> resumed from step {int(self.state.step)}")
+            except FileNotFoundError:
+                pass
         train_loader, val_loader = self.make_loaders()
         logger = TermLogger(cfg.epochs, len(train_loader), len(val_loader))
         csv = CsvLogger(save_path)
         jsonl = JsonlLogger(save_path / "metrics.jsonl")
+        from supervised_dispnet_tpu.utils.logging import make_tensorboard_writer
+        self.tb = make_tensorboard_writer(save_path)
         best = float("inf")
         for epoch in range(cfg.epochs):
             logger.epoch_start(epoch)
@@ -217,6 +276,10 @@ class Trainer:
             )
             jsonl.log(event="epoch", epoch=epoch, train_loss=train_loss, **errors)
             csv.write_summary([train_loss, errors.get("abs_rel", 0.0)])
+            if self.tb is not None:
+                self.tb.add_scalar("train/loss", train_loss, epoch)
+                for k, v in errors.items():
+                    self.tb.add_scalar(f"val/{k}", v, epoch)
             abs_rel = errors.get("abs_rel", float("inf"))
             is_best = abs_rel < best
             best = min(best, abs_rel)

@@ -89,6 +89,7 @@ def test_trainer_supervised_end_to_end(dump_root, tmp_path):
         workers=2,
         img_height=H,
         img_width=W,
+        training_output_freq=1,  # exercise the tensorboard image path
     )
     mesh = make_mesh(jax.devices()[:1])
     trainer = Trainer(cfg, DispResNet(encoder_depth=18), mesh=mesh)

@@ -138,3 +138,27 @@ def test_eval_step_metrics():
     out = ev(state.params, state.batch_stats, batch)
     for k in ("abs_rel", "rmse", "a1"):
         assert np.isfinite(float(out[k]))
+
+
+def test_selfsup_step_with_pallas_warp():
+    """Self-sup step with the Pallas MXU-gather sampler (interpret on CPU)."""
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=False)
+    B = 2
+    rng = np.random.default_rng(7)
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt0,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+    )
+    step = make_selfsup_train_step(
+        disp, pose, nb_ref_imgs=2, mask_weight=0.0, aug=NO_AUG,
+        donate=False, use_pallas_warp=True, num_scales=1,
+    )
+    batch = {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "ref_imgs": jnp.asarray(rng.uniform(0, 1, (B, 2, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(_sup_batch(B)["intrinsics"]),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
