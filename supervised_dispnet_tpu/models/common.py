@@ -8,7 +8,6 @@ xavier-uniform like the reference's ``init_weights``.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ from supervised_dispnet_tpu.models.common import (
     UpConvELU,
     DispHead,
     crop_like,
-    xavier_uniform,
 )
 from supervised_dispnet_tpu.ops.resize import resize_bilinear
 

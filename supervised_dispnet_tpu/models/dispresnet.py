@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from supervised_dispnet_tpu.models.common import DispHead, xavier_uniform
-from supervised_dispnet_tpu.models.resnet import ResNetEncoder, RESNET_SPECS
+from supervised_dispnet_tpu.models.resnet import ResNetEncoder
 from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
 DEC_PLANES = (16, 32, 64, 128, 256)
@@ -45,11 +45,12 @@ class DispResNet(nn.Module):
     head: str = "disp"  # 'disp' | 'classification'
     num_bins: int = 64
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params fp32
+    remat: bool = False  # checkpoint encoder blocks (memory for FLOPs)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         enc = ResNetEncoder(self.encoder_depth, dtype=self.dtype,
-                            name="encoder")(x, train=train)
+                            remat=self.remat, name="encoder")(x, train=train)
         # enc: strides [2, 4, 8, 16, 32]
 
         outputs_feats = {}

@@ -14,7 +14,6 @@ arithmetic) — an intentional TPU-first deviation, output semantics match.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from supervised_dispnet_tpu.models.common import xavier_uniform

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 kaiming_normal = nn.initializers.kaiming_normal()
@@ -88,6 +87,7 @@ class ResNetEncoder(nn.Module):
 
     depth: int = 18
     dtype: object = None
+    remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
 
     @property
     def feature_channels(self) -> Sequence[int]:
@@ -96,6 +96,8 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> list[jax.Array]:
         block_cls, stage_sizes, _ = RESNET_SPECS[self.depth]
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         feats = []
         h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
@@ -110,6 +112,6 @@ class ResNetEncoder(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 h = block_cls(width, stride, dtype=self.dtype,
-                              name=f"layer{stage + 1}_{b}")(h, train=train)
+                              name=f"layer{stage + 1}_{b}")(h, train)
             feats.append(h)  # 1/4, 1/8, 1/16, 1/32
         return feats

@@ -14,8 +14,6 @@ Supervised losses: l1 | berhu | scale_invariant | classification
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

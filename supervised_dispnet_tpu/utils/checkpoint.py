@@ -15,7 +15,6 @@ conv kernels OIHW->HWIO, transposed convs IOHW->HWIO with spatial flip
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any
 

@@ -127,3 +127,19 @@ def test_dispnet_jit_and_grad():
     g = jax.grad(loss_fn)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_dispresnet_remat_grads_equal():
+    """remat=True (activation checkpointing) must not change gradients."""
+    x = _img(seed=11)
+    m0 = DispResNet(encoder_depth=18)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = DispResNet(encoder_depth=18, remat=True)
+
+    def loss(m, p):
+        return jnp.mean(m.apply({**v, "params": p}, x, train=False)[0])
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -162,3 +162,23 @@ def test_selfsup_step_with_pallas_warp():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_training_determinism_same_seed():
+    """Same seed + same data -> bitwise-identical loss trajectories."""
+    def run():
+        model = DispNetS()
+        state = create_train_state(
+            model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=42
+        )
+        step = make_supervised_train_step(model, "l1", donate=False)
+        batch = {k: jnp.asarray(v) for k, v in _sup_batch(seed=5).items()}
+        out = []
+        for _ in range(3):
+            state, metrics = step(state, batch)
+            out.append(float(metrics["loss"]))
+        return out
+
+    a = run()
+    b = run()
+    assert a == b, (a, b)
