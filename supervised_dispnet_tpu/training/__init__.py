@@ -5,6 +5,7 @@ from supervised_dispnet_tpu.training.train_step import (
     create_train_state,
     make_supervised_train_step,
     make_selfsup_train_step,
+    make_selfsup_eval_step,
     make_eval_step,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "create_train_state",
     "make_supervised_train_step",
     "make_selfsup_train_step",
+    "make_selfsup_eval_step",
     "make_eval_step",
 ]

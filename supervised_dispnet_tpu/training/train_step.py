@@ -264,6 +264,51 @@ def make_selfsup_train_step(
     )
 
 
+def make_selfsup_eval_step(
+    disp_model,
+    pose_model,
+    nb_ref_imgs: int = 2,
+    rotation_mode: str = "euler",
+    padding_mode: str = "zeros",
+    num_scales: int = 4,
+    with_exp: bool = True,
+    mesh=None,
+):
+    """Loss-only self-supervised validation (reference:
+    ``train.py::validate_without_gt`` — photometric + exp + smooth losses on
+    the val set, no gradients).
+
+    batch: {'tgt', 'ref_imgs', 'intrinsics'} normalized images.
+    """
+
+    def step(params, batch_stats, batch):
+        tgt = batch["tgt"]
+        refs = [batch["ref_imgs"][:, r] for r in range(nb_ref_imgs)]
+        disps, _ = _apply(disp_model, params["disp"], batch_stats["disp"],
+                          tgt, train=False)
+        disps = disps[:num_scales]
+        depths = disps_to_depths(disps)
+        (exp_masks, pose), _ = _apply(
+            pose_model, params["pose"], batch_stats["pose"], tgt, refs,
+            train=False)
+        if not with_exp:
+            exp_masks = None
+        else:
+            exp_masks = exp_masks[:num_scales]
+        photo, _ = photometric_reconstruction_loss(
+            tgt, refs, batch["intrinsics"], depths, exp_masks, pose,
+            rotation_mode=rotation_mode, padding_mode=padding_mode)
+        exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
+        smooth = smooth_loss(disps)
+        return {"photo_loss": photo, "exp_loss": exp_l, "smooth_loss": smooth}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(repl, repl, data), out_shardings=repl)
+
+
 def make_eval_step(
     model,
     classification: bool = False,

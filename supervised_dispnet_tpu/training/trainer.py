@@ -24,6 +24,7 @@ from supervised_dispnet_tpu.parallel.mesh import make_mesh, shard_batch
 from supervised_dispnet_tpu.training.train_step import (
     create_train_state,
     make_eval_step,
+    make_selfsup_eval_step,
     make_selfsup_train_step,
     make_supervised_train_step,
 )
@@ -135,6 +136,16 @@ class Trainer:
             disp_model, classification=self.classification, bins=self.bins,
             max_depth=cfg.max_depth, mesh=self.mesh,
         )
+        self.selfsup_eval_step = None
+        if self.selfsup:
+            self.selfsup_eval_step = make_selfsup_eval_step(
+                disp_model, pose_model,
+                nb_ref_imgs=cfg.sequence_length - 1,
+                rotation_mode=cfg.rotation_mode,
+                padding_mode=cfg.padding_mode,
+                with_exp=cfg.with_exp_mask and cfg.mask_loss_weight > 0,
+                mesh=self.mesh,
+            )
 
         import jax as _jax
 
@@ -162,7 +173,18 @@ class Trainer:
             sequence_length=self.cfg.sequence_length,
             with_depth=not self.selfsup,
         )
-        val_set = ValidationSet(self.cfg.data)
+        try:
+            val_set = ValidationSet(self.cfg.data)
+        except Exception:
+            val_set = None
+        self.val_with_gt = bool(val_set) and len(val_set) >= self.cfg.batch_size
+        if not self.val_with_gt:
+            # no dumped GT depth: validate with the self-sup losses
+            # (reference: train.py::validate_without_gt)
+            val_set = SequenceFolder(
+                self.cfg.data, seed=self.cfg.seed, train=False,
+                sequence_length=self.cfg.sequence_length, shuffle=False,
+            )
         train_loader = BatchLoader(
             train_set, self.cfg.batch_size, shuffle=True,
             num_workers=self.cfg.workers, seed=self.cfg.seed,
@@ -229,6 +251,34 @@ class Trainer:
             "train/disp", tensor2array(disp).transpose(2, 0, 1), step)
         self.tb.add_image("train/input", img[0].transpose(2, 0, 1), step)
 
+    def validate_without_gt(self, loader, logger: TermLogger):
+        """Photometric-loss validation when no GT depth is dumped
+        (reference: ``train.py::validate_without_gt``)."""
+        if self.selfsup_eval_step is None:
+            raise RuntimeError(
+                "no GT depth dumps found and not in self-supervised mode — "
+                "re-run prepare_train_data with --with-depth")
+        mean, std = self.aug.mean, self.aug.std
+        sums: dict[str, float] = {}
+        n = 0
+        for i, np_batch in enumerate(loader):
+            batch = shard_batch({
+                "tgt": normalize_images(jnp.asarray(np_batch["tgt"]), mean, std),
+                "ref_imgs": normalize_images(
+                    jnp.asarray(np_batch["ref_imgs"]), mean, std),
+                "intrinsics": jnp.asarray(np_batch["intrinsics"]),
+            }, self.mesh)
+            out = self.selfsup_eval_step(
+                self.state.params, self.state.batch_stats, batch)
+            for k, v in out.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            logger.valid_update(i)
+        errs = {k: v / max(n, 1) for k, v in sums.items()}
+        # abs_rel stand-in for best-model selection: photometric loss
+        errs["abs_rel"] = errs.get("photo_loss", 0.0)
+        return errs
+
     def validate(self, loader, logger: TermLogger):
         """validate_with_gt (reference: ``train.py::validate_with_gt``)."""
         mean = self.aug.mean
@@ -270,7 +320,10 @@ class Trainer:
         for epoch in range(cfg.epochs):
             logger.epoch_start(epoch)
             train_loss = self.train_epoch(train_loader, logger, csv, jsonl)
-            errors = self.validate(val_loader, logger)
+            if self.val_with_gt:
+                errors = self.validate(val_loader, logger)
+            else:
+                errors = self.validate_without_gt(val_loader, logger)
             logger.print_result(
                 "val: " + ", ".join(f"{k}={v:.4f}" for k, v in errors.items())
             )

@@ -130,3 +130,39 @@ def test_trainer_selfsup_end_to_end(dump_root, tmp_path):
     )
     best = trainer.fit()
     assert np.isfinite(best)
+
+
+def test_trainer_selfsup_without_gt(tmp_path):
+    """No depth dumps at all -> validation falls back to photometric loss
+    (reference: train.py::validate_without_gt)."""
+    import imageio.v2 as imageio
+
+    from supervised_dispnet_tpu.models import DispResNet, PoseExpNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    root = tmp_path / "dump_nogt"
+    rng = np.random.default_rng(1)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    for s in ("scene_a", "scene_b"):
+        d = root / s
+        d.mkdir(parents=True)
+        np.savetxt(d / "cam.txt", K)
+        for i in range(5):
+            imageio.imwrite(d / f"{i:010d}.jpg",
+                            rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+    (root / "train.txt").write_text("scene_a\n")
+    (root / "val.txt").write_text("scene_b\n")
+
+    cfg = TrainerConfig(
+        data=str(root), save_path=str(tmp_path / "exp_nogt"),
+        loss="selfsup", epochs=1, epoch_size=1, batch_size=2, workers=2,
+        img_height=H, img_width=W,
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(
+        cfg, DispResNet(encoder_depth=18), PoseExpNet(nb_ref_imgs=2), mesh=mesh
+    )
+    best = trainer.fit()
+    assert not trainer.val_with_gt
+    assert np.isfinite(best)
