@@ -1,0 +1,93 @@
+"""Training-step throughput benchmarks (supervised + self-supervised).
+
+Run on TPU:  python benchmarks/train_bench.py [--mode supervised|selfsup]
+
+Timing uses the serial state chain (each step consumes the previous
+TrainState) + final loss readback — see BASELINE.md timing-protocol note.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="supervised",
+                    choices=["supervised", "selfsup"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--network", default="disp_res_50")
+    ap.add_argument("--loss", default="berhu")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from supervised_dispnet_tpu.models import PoseExpNet, get_disp_net
+    from supervised_dispnet_tpu.training import (
+        create_train_state,
+        make_selfsup_train_step,
+        make_supervised_train_step,
+    )
+
+    H, W, B = 128, 416, args.batch
+    rng = np.random.default_rng(0)
+    K = np.broadcast_to(
+        np.array([[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 3, 3),
+    ).copy()
+
+    tgt0 = jnp.zeros((1, H, W, 3))
+    if args.mode == "supervised":
+        model = get_disp_net(args.network, head="classification"
+                             if args.loss == "classification" else "disp")
+        model = model.replace(dtype=jnp.bfloat16) if hasattr(model, "dtype") else model
+        state = create_train_state(model, (tgt0,), optax.adam(1e-4))
+        step = make_supervised_train_step(model, args.loss, donate=False)
+        depth = rng.uniform(1, 60, (B, H, W)).astype(np.float32)
+        depth *= rng.uniform(size=(B, H, W)) > 0.5
+        batch = {
+            "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+            "intrinsics": jnp.asarray(K),
+            "depth": jnp.asarray(depth),
+        }
+    else:
+        model = get_disp_net("dispnet")
+        pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+        state = create_train_state(
+            model, (tgt0,), optax.adam(1e-4),
+            extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+        )
+        step = make_selfsup_train_step(model, pose, nb_ref_imgs=2, donate=False)
+        batch = {
+            "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+            "ref_imgs": jnp.asarray(
+                rng.uniform(0, 1, (B, 2, H, W, 3)).astype(np.float32)),
+            "intrinsics": jnp.asarray(K),
+        }
+
+    state, m = step(state, batch)
+    float(m["loss"])  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, batch)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"{args.mode}_train_images_per_sec_per_chip",
+        "value": round(B * args.iters / dt, 2),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(dt / args.iters * 1000, 2),
+        "batch": B,
+    }))
+
+
+if __name__ == "__main__":
+    main()

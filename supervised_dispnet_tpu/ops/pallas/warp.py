@@ -175,11 +175,11 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
 
     d_rows0 = g_cols * (m_x0 * (wy0 * wx0)[:, None] + m_x1 * (wy0 * wx1)[:, None])
     d_rows1 = g_cols * (m_x0 * (wy1 * wx0)[:, None] + m_x1 * (wy1 * wx1)[:, None])
+    # default (bf16 MXU) precision: this is a gradient scatter — exactness
+    # buys nothing here and HIGHEST costs a 3-pass emulation per matmul
     dimg = (
-        jnp.dot(A0.T, d_rows0, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        + jnp.dot(A1.T, d_rows1, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(A0.T, d_rows0, preferred_element_type=jnp.float32)
+        + jnp.dot(A1.T, d_rows1, preferred_element_type=jnp.float32)
     )
 
     @pl.when(p == 0)
