@@ -10,9 +10,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# runnable as `python benchmarks/train_bench.py` without installation
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
@@ -47,7 +52,8 @@ def main() -> None:
     if args.mode == "supervised":
         model = get_disp_net(args.network, head="classification"
                              if args.loss == "classification" else "disp")
-        model = model.replace(dtype=jnp.bfloat16) if hasattr(model, "dtype") else model
+        if hasattr(model, "dtype"):
+            model = model.clone(dtype=jnp.bfloat16)
         state = create_train_state(model, (tgt0,), optax.adam(1e-4))
         step = make_supervised_train_step(model, args.loss, donate=False)
         depth = rng.uniform(1, 60, (B, H, W)).astype(np.float32)

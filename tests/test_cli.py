@@ -102,3 +102,43 @@ def test_test_disp_cli(torch_ckpt, kitti_raw_eval, capsys):
     vals = [float(v) for v in last.split()]
     assert len(vals) == 7
     assert all(np.isfinite(vals))
+
+
+def test_test_pose_cli(tmp_path, capsys):
+    """Odometry pose eval CLI end-to-end with a converted torch PoseExpNet."""
+    import cv2
+
+    from supervised_dispnet_tpu.cli.test_pose import main
+    from tests.torch_ref import TorchPoseExpNet
+
+    torch.manual_seed(1)
+    pose_model = TorchPoseExpNet(nb_ref_imgs=2, output_exp=False)
+    ckpt = tmp_path / "exp_pose_model_best.pth.tar"
+    torch.save({"epoch": 1, "state_dict": pose_model.state_dict()}, ckpt)
+
+    seq_dir = tmp_path / "odom" / "sequences" / "09" / "image_2"
+    pose_dir = tmp_path / "odom" / "poses"
+    seq_dir.mkdir(parents=True)
+    pose_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n = 6
+    for i in range(n):
+        cv2.imwrite(str(seq_dir / f"{i:06d}.png"),
+                    rng.uniform(0, 255, (64, 208, 3)).astype(np.uint8))
+    poses = []
+    t = np.zeros(3)
+    for i in range(n):
+        poses.append(np.hstack([np.eye(3), t[:, None]]))
+        t = t + [1.0, 0.0, 0.1]
+    np.savetxt(pose_dir / "09.txt", np.stack(poses).reshape(n, 12))
+
+    main([
+        "--pretrained-posenet", str(ckpt),
+        "--dataset-dir", str(tmp_path / "odom"),
+        "--sequences", "09",
+        "--img-height", "32", "--img-width", "104",
+    ])
+    out = capsys.readouterr().out
+    assert "ATE" in out and "RE" in out
+    ate = float(out.split("ATE")[1].split("+/-")[0])
+    assert np.isfinite(ate)
