@@ -1,0 +1,50 @@
+"""Model export for serving: serialize the jitted forward pass as a
+portable StableHLO artifact via ``jax.export``.
+
+The reference has no serving story (checkpoints only); for production
+deployment the exported artifact can be reloaded (``load_forward``) in any
+process — including one without the model code — and executed on any
+matching backend.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+
+def export_forward(
+    model,
+    variables,
+    path: str | Path,
+    batch_size: int = 1,
+    img_height: int = 128,
+    img_width: int = 416,
+) -> None:
+    """Serialize model.apply(variables, x)[finest] for fixed input shape."""
+    from jax import export as jax_export
+
+    def forward(x):
+        try:
+            out = model.apply(variables, x, train=False)
+        except TypeError:
+            out = model.apply(variables, x)
+        if isinstance(out, (list, tuple)):
+            return out[0]
+        return out
+
+    x_spec = jax.ShapeDtypeStruct(
+        (batch_size, img_height, img_width, 3), jnp.float32
+    )
+    exported = jax_export.export(jax.jit(forward))(x_spec)
+    Path(path).write_bytes(exported.serialize())
+
+
+def load_forward(path: str | Path):
+    """Deserialize an exported forward; returns a callable(x) -> disparity."""
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(Path(path).read_bytes())
+    return lambda x: exported.call(x)

@@ -1,0 +1,55 @@
+"""grain loader + StableHLO export roundtrip tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+H, W = 32, 64
+
+
+class _ToyDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "img": rng.uniform(0, 1, (H, W, 3)).astype(np.float32),
+            "depth": rng.uniform(1, 60, (H, W)).astype(np.float32),
+        }
+
+
+def test_grain_loader_batches():
+    pytest.importorskip("grain")
+    from supervised_dispnet_tpu.data.grain_loader import make_grain_loader
+
+    loader = make_grain_loader(_ToyDataset(), batch_size=4, shuffle=True,
+                               num_workers=0, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2  # 10 // 4, drop_remainder
+    b = batches[0]
+    assert b["img"].shape == (4, H, W, 3)
+    assert b["depth"].shape == (4, H, W)
+
+
+def test_export_roundtrip(tmp_path):
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.utils.export import export_forward, load_forward
+
+    model = DispNetS()
+    x = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    path = tmp_path / "dispnet.stablehlo"
+    export_forward(model, variables, path, batch_size=1,
+                   img_height=H, img_width=W)
+    assert path.stat().st_size > 1000
+
+    fn = load_forward(path)
+    rng = np.random.default_rng(0)
+    xin = jnp.asarray(rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32))
+    got = np.asarray(fn(xin))
+    ref = np.asarray(model.apply(variables, xin)[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
