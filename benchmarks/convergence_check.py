@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--network", default="disp_res_18")
+    ap.add_argument("--loss", default="berhu",
+                    choices=["l1", "berhu", "scale_invariant", "classification"])
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -52,13 +54,15 @@ def main() -> None:
 
     H, W, B = 128, 416, args.batch
     rng = np.random.default_rng(0)
-    model = get_disp_net(args.network)
+    classification = args.loss == "classification"
+    model = get_disp_net(args.network,
+                         head="classification" if classification else "disp")
     state = create_train_state(
         model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-4)
     )
     no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
-    step = make_supervised_train_step(model, "berhu", aug=no_aug)
-    ev = make_eval_step(model)
+    step = make_supervised_train_step(model, args.loss, aug=no_aug)
+    ev = make_eval_step(model, classification=classification)
 
     K = np.broadcast_to(
         np.array([[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1]], np.float32),

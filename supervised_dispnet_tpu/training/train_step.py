@@ -128,17 +128,30 @@ def make_supervised_train_step(
     mesh=None,
     multiscale: bool = True,
     donate: bool = True,
+    use_pallas_losses: bool = False,
 ):
     """Build the jitted supervised step: (state, batch) -> (state, metrics).
 
     batch: {'tgt': (B, H, W, 3) [0,1], 'intrinsics': (B, 3, 3),
             'depth': (B, H, W) sparse GT}.
+
+    ``use_pallas_losses`` swaps in the fused Pallas reduction kernels
+    (ops/pallas/losses.py, custom-VJP) for berhu / classification.
     """
     classification = loss_name == "classification"
     if classification and bins is None:
         bins = DepthBins()
     if not classification and loss_name not in SUPERVISED_LOSSES:
         raise ValueError(f"unknown supervised loss {loss_name!r}")
+    ce_fn = depth_classification_loss
+    sup_losses = dict(SUPERVISED_LOSSES)
+    if use_pallas_losses:
+        from supervised_dispnet_tpu.ops.pallas import (
+            berhu_loss_pallas, depth_classification_loss_pallas,
+        )
+
+        ce_fn = depth_classification_loss_pallas
+        sup_losses["berhu"] = berhu_loss_pallas
 
     def step(state: TrainState, batch):
         rng, key = jax.random.split(state.rng)
@@ -153,10 +166,10 @@ def make_supervised_train_step(
                 model, params["disp"], state.batch_stats["disp"], x, train=True
             )
             if classification:
-                loss = depth_classification_loss(out, depth_gt, mask, bins)
+                loss = ce_fn(out, depth_gt, mask, bins)
             else:
                 depths = disps_to_depths(out)
-                fn = SUPERVISED_LOSSES[loss_name]
+                fn = sup_losses[loss_name]
                 if multiscale:
                     loss = multiscale_supervised_loss(depths, depth_gt, mask, fn)
                 else:

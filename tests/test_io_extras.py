@@ -53,3 +53,28 @@ def test_export_roundtrip(tmp_path):
     got = np.asarray(fn(xin))
     ref = np.asarray(model.apply(variables, xin)[0])
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_step_timer_and_steady_state():
+    import time
+
+    import jax
+
+    from supervised_dispnet_tpu.utils.profiling import (
+        StepTimer, steady_state_images_per_sec,
+    )
+
+    t = StepTimer()
+    t.mark_data()
+    time.sleep(0.01)
+    t.mark_step()
+    avg = t.averages()
+    assert avg["batch_time"] > 0
+
+    @jax.jit
+    def fn(x, carry):
+        return jnp.sum(x) + carry * 1e-30
+
+    x = jnp.ones((8, 4))
+    ips = steady_state_images_per_sec(fn, (x,), batch_size=8, iters=5, warmup=1)
+    assert ips > 0

@@ -182,3 +182,24 @@ def test_training_determinism_same_seed():
     a = run()
     b = run()
     assert a == b, (a, b)
+
+
+def test_supervised_step_pallas_losses_match_xla():
+    """use_pallas_losses swaps in the fused kernels; one step must produce
+    the same loss and (near-)same params as the XLA path."""
+    model = DispNetS()
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(seed=9).items()}
+    s_x = make_supervised_train_step(model, "berhu", aug=NO_AUG, donate=False)
+    s_p = make_supervised_train_step(model, "berhu", aug=NO_AUG, donate=False,
+                                     use_pallas_losses=True)
+    st_x, m_x = s_x(state, batch)
+    st_p, m_p = s_p(state, batch)
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_x["loss"]), rtol=1e-5)
+    # Adam renormalizes gradients, amplifying fp noise at the BerHu branch
+    # threshold — tolerance reflects that, not a semantic difference
+    for a, b in zip(jax.tree_util.tree_leaves(st_p.params),
+                    jax.tree_util.tree_leaves(st_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
