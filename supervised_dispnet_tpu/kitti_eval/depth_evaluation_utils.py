@@ -73,14 +73,24 @@ def generate_depth_map(
     velo_file: str | Path,
     im_shape: tuple[int, int],
     cam: int = 2,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Project a velodyne scan into a sparse (H, W) depth map.
 
+    Uses the C++ single-pass projector (``native/velodyne_projection.cpp``)
+    when the toolchain is available; numpy fallback below is the semantic
+    reference.
     (reference: ``kitti_eval/depth_evaluation_utils.py::generate_depth_map``)
     """
     H, W = im_shape
     P = velo2cam_matrix(calib_dir, cam)
     velo = load_velodyne_points(velo_file)
+    if use_native:
+        from supervised_dispnet_tpu.native import project_velodyne_native
+
+        out = project_velodyne_native(velo, P, im_shape)
+        if out is not None:
+            return out
     velo = velo[velo[:, 0] >= 1e-3]  # points in front of the sensor
 
     pts = (P @ velo.T).T  # (N, 3)
