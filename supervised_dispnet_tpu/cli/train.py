@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-pallas-warp", action="store_true",
                    help="use the Pallas MXU-gather sampler in the "
                         "photometric loss (self-supervised)")
+    p.add_argument("--use-pallas-losses", action="store_true",
+                   help="use the fused Pallas loss-reduction kernels "
+                        "(berhu / classification)")
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("-f", "--training-output-freq", type=int, default=0,
                    help="log disp images to tensorboard every N iters")
@@ -111,6 +114,7 @@ def main(argv: list[str] | None = None) -> None:
         img_height=args.img_height,
         img_width=args.img_width,
         use_pallas_warp=args.use_pallas_warp,
+        use_pallas_losses=args.use_pallas_losses,
         debug_nans=args.debug_nans,
         training_output_freq=args.training_output_freq,
     )

@@ -67,6 +67,7 @@ class TrainerConfig:
     img_width: int = 416
     with_exp_mask: bool = True
     use_pallas_warp: bool = False  # MXU-gather Pallas sampler in photometric
+    use_pallas_losses: bool = False  # fused Pallas loss reduction kernels
     debug_nans: bool = False  # jax nan-checker (SURVEY aux: sanitizers)
     training_output_freq: int = 0  # tensorboard disp images every N iters
     #   (reference: train.py --training-output-freq)
@@ -131,6 +132,7 @@ class Trainer:
             self.train_step = make_supervised_train_step(
                 disp_model, cfg.loss, bins=self.bins, aug=self.aug,
                 max_depth=cfg.max_depth, mesh=self.mesh,
+                use_pallas_losses=cfg.use_pallas_losses,
             )
         self.eval_step = make_eval_step(
             disp_model, classification=self.classification, bins=self.bins,
