@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--network", default="disp_res_18")
     ap.add_argument("--loss", default="berhu",
                     choices=["l1", "berhu", "scale_invariant", "classification"])
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 trunk compute (fp32 params/heads)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -57,6 +59,8 @@ def main() -> None:
     classification = args.loss == "classification"
     model = get_disp_net(args.network,
                          head="classification" if classification else "disp")
+    if args.bf16 and hasattr(model, "dtype"):
+        model = model.clone(dtype=jnp.bfloat16)
     state = create_train_state(
         model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-4)
     )
