@@ -118,3 +118,40 @@ def test_normalize_images():
     x = jnp.full((1, 4, 4, 3), 0.5)
     out = np.asarray(normalize_images(x))
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_augmentation_statistics():
+    """Statistical parity (SURVEY §7 hard part #3): flip rate ~0.5, scale
+    ~U[1, 1.15], crop offsets within bounds across many samples."""
+    B, S, H, W = 512, 1, 16, 32
+    imgs, K = _batch(B=B, S=S, H=H, W=W, seed=12)
+    cfg = AugmentConfig(color_jitter=False)
+    _, new_K = augment_batch(jax.random.PRNGKey(123), imgs, K, config=cfg)
+    new_K = np.asarray(new_K)
+    K = np.asarray(K)
+
+    scale = new_K[:, 0, 0] / K[:, 0, 0]
+    assert scale.min() >= 1.0 - 1e-5 and scale.max() <= 1.15 + 1e-5
+    assert abs(scale.mean() - 1.075) < 0.01  # uniform on [1, 1.15]
+
+    # flip detection: recover pre-flip cx from the scale/crop params is
+    # nontrivial; instead check the fraction of samples where the top-left
+    # pixel moved to the right half (signature of a flip on cx)
+    # -> use fy/cy (unaffected by flip) to invert the crop and compare
+    fy = new_K[:, 1, 1] / K[:, 1, 1]
+    np.testing.assert_allclose(fy, scale, atol=1e-5)  # isotropic scale
+    oy = K[:, 1, 2] * scale - new_K[:, 1, 2]
+    assert (oy >= -1e-3).all() and (oy <= (scale - 1) * H + 1e-3).all()
+
+    # flips: cx either = cx*s - ox (no flip, decreasing-ish) or mirrored;
+    # reconstruct both hypotheses and count which fits
+    cx_nf_min = K[:, 0, 2] * scale - (scale - 1) * W  # min possible cx (no flip)
+    cx_nf_max = K[:, 0, 2] * scale
+    no_flip = (new_K[:, 0, 2] >= cx_nf_min - 1e-3) & (new_K[:, 0, 2] <= cx_nf_max + 1e-3)
+    flipped_cx = (W - 1.0) - new_K[:, 0, 2]
+    flip = (flipped_cx >= cx_nf_min - 1e-3) & (flipped_cx <= cx_nf_max + 1e-3)
+    # ambiguous samples satisfy both; count definite flips among definite
+    definite = no_flip ^ flip
+    if definite.sum() > 50:
+        rate = flip[definite].mean()
+        assert 0.3 < rate < 0.7, rate
