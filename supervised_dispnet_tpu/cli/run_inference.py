@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> None:
 
     import jax
 
+    # FCRN emits metric depth directly; disparity nets emit multi-scale
+    # disparity lists (depth = 1/disp)
+    direct_depth = args.network == "fcrn"
+
     @jax.jit
     def forward(x):
         try:
@@ -78,15 +82,19 @@ def main(argv: list[str] | None = None) -> None:
         img = cv2.resize(img, (args.img_width, args.img_height),
                          interpolation=cv2.INTER_AREA)
         x = normalize_images(jnp.asarray(img[None]), mean, std)
-        disp = np.asarray(forward(x))[0]
+        out = np.asarray(forward(x))[0]
+        if direct_depth:
+            depth = np.maximum(out, 1e-6)
+            disp = 1.0 / depth
+        else:
+            disp = out
+            depth = 1.0 / np.maximum(disp, 1e-6)
         if args.output_disp:
             save_depth_png(dst / f"{f.stem}_disp.png", disp)
-        if args.output_depth or args.save_npy:
-            depth = 1.0 / np.maximum(disp, 1e-6)
-            if args.output_depth:
-                save_depth_png(dst / f"{f.stem}_depth.png", depth, max_value=80.0)
-            if args.save_npy:
-                np.save(dst / f"{f.stem}_depth.npy", depth)
+        if args.output_depth:
+            save_depth_png(dst / f"{f.stem}_depth.png", depth, max_value=80.0)
+        if args.save_npy:
+            np.save(dst / f"{f.stem}_depth.npy", depth)
     print(f"wrote outputs to {dst}")
 
 

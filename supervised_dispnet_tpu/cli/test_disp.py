@@ -60,17 +60,12 @@ def load_params(path: str, network: str, model, img_hw):
             raise NotImplementedError("torch conversion CLI path supports dispnet")
         sd = load_torch_state_dict(p)
         return convert_dispnet(sd), {}
-    # orbax: restore into a freshly-initialized template
-    import optax
+    # orbax: raw restore — no optimizer template needed, so checkpoints
+    # from any optimizer (adam, adamw, ...) load
+    from supervised_dispnet_tpu.utils.checkpoint import restore_raw
 
-    from supervised_dispnet_tpu.training.train_step import create_train_state
-    from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
-
-    state = create_train_state(
-        model, (jnp.zeros((1, *img_hw, 3)),), optax.adam(1e-4)
-    )
-    state = restore_checkpoint(p, state)
-    return state.params["disp"], state.batch_stats["disp"]
+    restored, _ = restore_raw(p)
+    return restored["params"]["disp"], restored["batch_stats"].get("disp", {})
 
 
 def main(argv: list[str] | None = None) -> None:

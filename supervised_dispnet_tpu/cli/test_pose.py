@@ -32,8 +32,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def pose_vec_to_snippet(poses_vec: np.ndarray, rotation_mode: str) -> np.ndarray:
-    """(R-1, 6) predicted tgt->ref poses + identity tgt -> (R, 3, 4) snippet
-    poses re-expressed relative to the FIRST frame (reference protocol)."""
+    """(R-1, 6) predicted tgt->ref transforms + identity tgt -> (R, 3, 4)
+    snippet *poses* re-expressed relative to the FIRST frame (reference
+    protocol, matching ``snippet_from_poses`` on the GT side).
+
+    The network emits M_j = T_j^{-1} T_mid (the transform that maps
+    target-frame points into reference frame j, the same convention
+    ``inverse_warp`` consumes). The pose of frame j in target coordinates is
+    its inverse A_j = M_j^{-1}; re-anchoring to the first frame gives
+    A_first^{-1} A_j.
+    """
     import jax.numpy as jnp
 
     from supervised_dispnet_tpu.ops.warp import pose_vec2mat
@@ -41,19 +49,21 @@ def pose_vec_to_snippet(poses_vec: np.ndarray, rotation_mode: str) -> np.ndarray
     mats = np.asarray(pose_vec2mat(jnp.asarray(poses_vec), rotation_mode))
     R = len(poses_vec) + 1
     mid = R // 2
-    mid_rel = []  # poses relative to the target (middle) frame
+    poses = []  # A_i: pose of frame i in target(mid) coordinates
     j = 0
     for i in range(R):
         if i == mid:
-            mid_rel.append(np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
+            poses.append(np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
         else:
-            mid_rel.append(mats[j])
+            Rm = mats[j][:, :3]
+            tm = mats[j][:, 3]
+            poses.append(np.hstack([Rm.T, (-Rm.T @ tm)[:, None]]))
             j += 1
-    # re-anchor to the first frame: T_first^{-1} @ T_i
-    R0 = mid_rel[0][:, :3]
-    t0 = mid_rel[0][:, 3]
+    # re-anchor to the first frame: A_first^{-1} @ A_i
+    R0 = poses[0][:, :3]
+    t0 = poses[0][:, 3]
     out = []
-    for T in mid_rel:
+    for T in poses:
         Rr = R0.T @ T[:, :3]
         tr = R0.T @ (T[:, 3] - t0)
         out.append(np.hstack([Rr, tr[:, None]]))

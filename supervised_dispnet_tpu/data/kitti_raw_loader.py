@@ -122,6 +122,16 @@ class KittiRawLoader:
                 for f in frames
                 if (drive.name, f.stem) not in self.static_frames
             ]
+            # GPS-speed fallback when no static_frames list was given
+            # (reference: the ETL's min-speed exclusion of stationary frames)
+            if not self.static_frames and self.min_speed > 0:
+                oxts_dir = drive / "oxts" / "data"
+                if oxts_dir.exists():
+                    frames = [
+                        f for f in frames
+                        if self._frame_speed(oxts_dir / f"{f.stem}.txt")
+                        >= self.min_speed
+                    ]
             if not frames:
                 continue
             P = cam2cam[f"P_rect_0{cam}"].reshape(3, 4)
@@ -135,10 +145,22 @@ class KittiRawLoader:
                 "intrinsics": intrinsics,
             }
             if self.get_pose:
-                oxts = sorted((drive / "oxts" / "data").glob("*.txt"))
-                if oxts:
+                # pose rows must align 1:1 with the (filtered) frames — use
+                # each kept frame's matching oxts packet, not the raw listing
+                oxts_dir = drive / "oxts" / "data"
+                oxts = [oxts_dir / f"{f.stem}.txt" for f in frames]
+                if all(o.exists() for o in oxts) and oxts:
                     scene["poses"] = oxts_to_pose(oxts)
             yield scene
+
+    @staticmethod
+    def _frame_speed(oxts_file: Path) -> float:
+        """Ground speed (m/s) from an oxts packet (vn, ve = fields 6, 7)."""
+        try:
+            vals = np.genfromtxt(oxts_file)
+            return float(np.hypot(vals[6], vals[7]))
+        except Exception:
+            return float("inf")  # unknown -> keep the frame
 
     def load_image(self, scene: dict, i: int):
         """Decode + resize a frame; returns (img_u8, zoomed intrinsics)."""
@@ -161,10 +183,14 @@ class KittiRawLoader:
         avoids decimating a high-res sparse map)."""
         frame = scene["frames"][i].stem
         velo = scene["drive"] / "velodyne_points" / "data" / f"{frame}.bin"
-        import cv2
+        # raw resolution is constant per scene: decode once, cache on the
+        # scene dict (load_image decodes frames anyway — no second decode)
+        if "raw_shape" not in scene:
+            import cv2
 
-        first = cv2.imread(str(scene["frames"][i]))
-        h, w = first.shape[:2]
+            first = cv2.imread(str(scene["frames"][i]))
+            scene["raw_shape"] = first.shape[:2]
+        h, w = scene["raw_shape"]
         depth_full = generate_depth_map(scene["date_dir"], velo, (h, w), cam=scene["cam"])
         # sparse-aware decimation: take max-depth... use nearest valid in each cell
         zy, zx = h / self.img_height, w / self.img_width

@@ -68,17 +68,34 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                def make_batch(idxs):
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    return _collate(items)
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer stopped (avoids a
+            producer thread wedged on a full queue holding batch memory)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    q.put(make_batch(idxs))
-            q.put(None)
+        def produce():
+            # exceptions from dataset decode must reach the consumer — a
+            # silently-dead producer would hang train_epoch on q.get()
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    def make_batch(idxs):
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        return _collate(items)
+
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        if not put(make_batch(idxs)):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -87,6 +104,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

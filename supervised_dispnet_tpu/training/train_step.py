@@ -76,8 +76,12 @@ def create_train_state(
     params = {"disp": variables["params"]}
     batch_stats = {"disp": variables.get("batch_stats", {})}
     if extra_models:
+        import zlib
+
         for name, (m, args) in extra_models.items():
-            v = m.init(jax.random.fold_in(init_rng, hash(name) % (2**31)), *args)
+            # crc32, not hash(): str hashing is salted per process and would
+            # make seeded runs irreproducible
+            v = m.init(jax.random.fold_in(init_rng, zlib.crc32(name.encode())), *args)
             params[name] = v["params"]
             batch_stats[name] = v.get("batch_stats", {})
     opt_state = tx.init(params)

@@ -172,7 +172,9 @@ class Trainer:
 
         train_set = SequenceFolder(
             self.cfg.data, seed=self.cfg.seed, train=True,
-            sequence_length=self.cfg.sequence_length,
+            # supervised training never reads the reference frames — skip
+            # decoding them (3x host decode saving)
+            sequence_length=self.cfg.sequence_length if self.selfsup else 1,
             with_depth=not self.selfsup,
         )
         try:
@@ -304,22 +306,26 @@ class Trainer:
         start_epoch = 0
         if cfg.resume:
             try:
-                from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+                from supervised_dispnet_tpu.utils.checkpoint import (
+                    latest_checkpoint_step, restore_checkpoint,
+                )
 
-                self.state = restore_checkpoint(save_path, self.state)
-                start_epoch = int(self.state.step) // max(
-                    1, cfg.epoch_size or 1)
-                print(f"=> resumed from step {int(self.state.step)}")
+                last = latest_checkpoint_step(save_path)
+                if last is not None:
+                    self.state = restore_checkpoint(save_path, self.state)
+                    start_epoch = last + 1  # saved step == epoch index
+                    print(f"=> resumed after epoch {last} "
+                          f"(train step {int(self.state.step)})")
             except FileNotFoundError:
                 pass
         train_loader, val_loader = self.make_loaders()
         logger = TermLogger(cfg.epochs, len(train_loader), len(val_loader))
-        csv = CsvLogger(save_path)
+        csv = CsvLogger(save_path, append=start_epoch > 0)
         jsonl = JsonlLogger(save_path / "metrics.jsonl")
         from supervised_dispnet_tpu.utils.logging import make_tensorboard_writer
         self.tb = make_tensorboard_writer(save_path)
         best = float("inf")
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             logger.epoch_start(epoch)
             train_loss = self.train_epoch(train_loader, logger, csv, jsonl)
             if self.val_with_gt:

@@ -58,6 +58,30 @@ def save_checkpoint(
             mgr.save(step, args=ocp.args.StandardSave(payload))
 
 
+def latest_checkpoint_step(directory: str | Path, best: bool = False) -> int | None:
+    """Highest saved step (the trainer saves one per epoch), or None."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute() / ("best" if best else "ckpts")
+    if not directory.exists():
+        return None
+    with ocp.CheckpointManager(directory) as mgr:
+        return mgr.latest_step()
+
+
+def restore_raw(directory: str | Path, best: bool = False):
+    """Restore the latest checkpoint as a raw pytree (no template needed —
+    works regardless of which optimizer the run used)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute() / ("best" if best else "ckpts")
+    with ocp.CheckpointManager(directory) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+        return mgr.restore(step), step
+
+
 def restore_checkpoint(directory: str | Path, state, best: bool = False):
     """Restore the latest (or best) checkpoint into a template TrainState."""
     import orbax.checkpoint as ocp

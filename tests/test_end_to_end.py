@@ -166,3 +166,45 @@ def test_trainer_selfsup_without_gt(tmp_path):
     best = trainer.fit()
     assert not trainer.val_with_gt
     assert np.isfinite(best)
+
+
+def test_trainer_resume_continues_epochs(dump_root, tmp_path):
+    """resume=True restores state and continues at the next epoch instead of
+    restarting from 0."""
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    kw = dict(
+        data=str(dump_root), save_path=str(tmp_path / "exp_resume"),
+        loss="l1", batch_size=2, workers=2, img_height=H, img_width=W,
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    t1 = Trainer(TrainerConfig(epochs=1, **kw), DispResNet(encoder_depth=18),
+                 mesh=mesh)
+    t1.fit()
+    steps_after_1 = int(t1.state.step)
+
+    t2 = Trainer(TrainerConfig(epochs=2, resume=True, **kw),
+                 DispResNet(encoder_depth=18), mesh=mesh)
+    t2.fit()
+    # exactly one more epoch of steps, not two
+    assert int(t2.state.step) == 2 * steps_after_1
+
+
+def test_batch_loader_propagates_dataset_errors():
+    from supervised_dispnet_tpu.data.loader import BatchLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros(2, np.float32)}
+
+    loader = BatchLoader(Bad(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass

@@ -76,7 +76,8 @@ def test_kitti_raw_loader_crawl_and_exclusions(kitti_raw):
     s = scenes[0]
     assert len(s["frames"]) == 3  # frame 1 static-excluded
     assert s["intrinsics"].shape == (3, 3)
-    assert s["poses"].shape == (4, 3, 4)
+    # poses align 1:1 with the kept frames
+    assert s["poses"].shape == (3, 3, 4)
     # first pose is identity (origin-relative)
     np.testing.assert_allclose(s["poses"][0], np.hstack([np.eye(3), np.zeros((3, 1))]),
                                atol=1e-9)
@@ -163,3 +164,26 @@ def test_cityscapes_loader(cityscapes_tree):
     assert K[0, 0] == pytest.approx(2262.52 * 64 / 128, rel=1e-6)
     # vertical zoom accounts for the hood crop (64 * 0.75 = 48 rows kept)
     assert K[1, 1] == pytest.approx(2265.3 * 32 / 48, rel=1e-6)
+
+
+def test_min_speed_fallback_filters_static(kitti_raw):
+    """With no static_frames file, low-GPS-speed frames are excluded
+    (reference: ETL min-speed exclusion)."""
+    from supervised_dispnet_tpu.data.kitti_raw_loader import KittiRawLoader
+
+    # rewrite drive 0001 oxts: frames 0,1 stationary, 2,3 moving
+    oxts_dir = (kitti_raw / "2011_09_26" / "2011_09_26_drive_0001_sync"
+                / "oxts" / "data")
+    for i in range(4):
+        speed = 0.0 if i < 2 else 5.0
+        vals = [49.0, 8.43, 112.0, 0.0, 0.0, 0.0, speed, 0.0] + [0.0] * 22
+        np.savetxt(oxts_dir / f"{i:010d}.txt", [vals])
+
+    loader = KittiRawLoader(
+        kitti_raw, static_frames_file=None,
+        test_scene_file=kitti_raw / "test_scenes.txt",
+        img_height=32, img_width=104, min_speed=2.0,
+    )
+    scenes = list(loader.collect_scene_data(loader.scenes[0]))
+    assert len(scenes[0]["frames"]) == 2
+    assert [f.stem for f in scenes[0]["frames"]] == ["0000000002", "0000000003"]

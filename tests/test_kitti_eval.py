@@ -145,3 +145,37 @@ def test_read_odometry_and_evaluate(tmp_path):
     res = evaluate_pose_snippets([tr[:3], tr[3:6]], [tr[:3], tr[3:6]])
     assert res["ate_mean"] == pytest.approx(0.0, abs=1e-9)
     assert res["n_snippets"] == 2
+
+
+def test_pose_vec_to_snippet_convention_roundtrip():
+    """A perfect network (predicting exact tgt->ref transforms) must yield
+    snippets identical to the GT snippets — translations and rotations."""
+    from supervised_dispnet_tpu.cli.test_pose import pose_vec_to_snippet
+
+    # pure-translation trajectory (cam-to-world, first-frame anchored)
+    t = np.array([[0, 0, 0], [1.0, 0.2, 3.0], [2.5, -0.3, 6.0]])
+    T = np.stack([np.hstack([np.eye(3), ti[:, None]]) for ti in t])
+    gt_snip = snippet_from_poses(T, np.array([0, 1, 2]))
+    # network predicts M_j = inv(T_j) @ T_mid -> translation = -(t_j - t_mid)
+    mid = 1
+    vecs = []
+    for j in (0, 2):
+        vecs.append(np.concatenate([t[mid] - t[j], np.zeros(3)]))
+    pred = pose_vec_to_snippet(np.asarray(vecs, np.float32), "euler")
+    np.testing.assert_allclose(pred, gt_snip, atol=1e-5)
+
+    # pure-z-rotation trajectory
+    th = np.array([0.0, 0.05, 0.12])
+
+    def Rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    T = np.stack([np.hstack([Rz(a), np.zeros((3, 1))]) for a in th])
+    gt_snip = snippet_from_poses(T, np.array([0, 1, 2]))
+    vecs = []
+    for j in (0, 2):
+        # M_j = Rz(th_mid - th_j); euler (x,y,z)=(0,0,phi) gives Rz(phi)
+        vecs.append(np.array([0, 0, 0, 0, 0, th[1] - th[j]], np.float32))
+    pred = pose_vec_to_snippet(np.asarray(vecs, np.float32), "euler")
+    np.testing.assert_allclose(pred, gt_snip, atol=1e-5)
