@@ -189,6 +189,35 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
     dimg_ref[0] += dimg
 
 
+def _bwd_coords_kernel(img_ref, x_ref, y_ref, g_ref, dx_ref, dy_ref,
+                       *, H, W, C, padding_mode):
+    """Coordinate gradients only — skips the image-gradient scatter
+    matmuls entirely (refs in photometric training are inputs, not
+    parameters, so their cotangent is dead work)."""
+    img2d = img_ref[0].astype(jnp.float32)
+    x = x_ref[0].astype(jnp.float32).reshape(BLOCK_P)
+    y = y_ref[0].astype(jnp.float32).reshape(BLOCK_P)
+    g = g_ref[0].astype(jnp.float32)
+
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _corner_setup(x, y, H, W, padding_mode)
+    rows0 = _row_gather(img2d, y0, H)
+    rows1 = _row_gather(img2d, y1, H)
+    one = jnp.ones_like(wx0)
+    c00 = _col_select(rows0, x0, one, W, C)
+    c01 = _col_select(rows0, x1, one, W, C)
+    c10 = _col_select(rows1, x0, one, W, C)
+    c11 = _col_select(rows1, x1, one, W, C)
+    dx = jnp.sum(g * (wy0[:, None] * (c01 - c00) + wy1[:, None] * (c11 - c10)),
+                 axis=1)
+    dy = jnp.sum(g * (wx0[:, None] * (c10 - c00) + wx1[:, None] * (c11 - c01)),
+                 axis=1)
+    if padding_mode == "border":
+        dx = dx * ((x >= 0) & (x <= W - 1)).astype(jnp.float32)
+        dy = dy * ((y >= 0) & (y <= H - 1)).astype(jnp.float32)
+    dx_ref[0] = dx.reshape(BLOCK_ROWS, LANES)
+    dy_ref[0] = dy.reshape(BLOCK_ROWS, LANES)
+
+
 def _pad_to(x, mult, axis=1):
     n = x.shape[axis]
     rem = (-n) % mult
@@ -205,12 +234,17 @@ def bilinear_sample_pallas(
     y: jax.Array,
     padding_mode: str = "zeros",
     interpret: bool | None = None,
+    diff_img: bool = True,
 ) -> jax.Array:
-    """Drop-in Pallas version of ``ops.sampling.bilinear_sample`` —
-    differentiable in img, x, and y.
+    """Drop-in Pallas version of ``ops.sampling.bilinear_sample``.
 
     img: (B, H, W, C); x, y: (B, Ho, Wo) pixel coords. Returns
     (B, Ho, Wo, C) fp32.
+
+    diff_img=True: differentiable in img, x, and y. diff_img=False: img is
+    treated as a constant; the backward pass computes only the coordinate
+    gradients (skipping the A^T scatter matmuls) — use for photometric
+    losses where the sampled image is data.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -234,6 +268,8 @@ def bilinear_sample_pallas(
     kernel_bwd = functools.partial(
         _bwd_kernel, H=H, W=W, C=C, padding_mode=padding_mode,
         n_blocks=n_blocks)
+    kernel_bwd_coords = functools.partial(
+        _bwd_coords_kernel, H=H, W=W, C=C, padding_mode=padding_mode)
 
     def run_fwd(img2d, xf, yf):
         return pl.pallas_call(
@@ -294,10 +330,53 @@ def bilinear_sample_pallas(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(img2d, xf, yf, g.astype(jnp.float32))
-        return dimg2d, dx.reshape(B, -1), dy.reshape(B, -1)
+        return dimg2d, dx, dy
 
     sample.defvjp(sample_fwd, sample_bwd)
 
-    out = sample(img2d, xf, yf)
+    coord_specs = [
+        pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    @jax.custom_vjp
+    def sample_coords(xf, yf):
+        return run_fwd(img2d, xf, yf)
+
+    def sample_coords_fwd(xf, yf):
+        return run_fwd(img2d, xf, yf), (xf, yf)
+
+    def sample_coords_bwd(res, g):
+        xf, yf = res
+        dx, dy = pl.pallas_call(
+            kernel_bwd_coords,
+            grid=(B, n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, H, W * C), lambda b, p: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *coord_specs,
+                pl.BlockSpec((1, BLOCK_P, C), lambda b, p: (b, p, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(coord_specs),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, Pp // LANES, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((B, Pp // LANES, LANES), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(img2d, xf, yf, g.astype(jnp.float32))
+        return dx, dy
+
+    sample_coords.defvjp(sample_coords_fwd, sample_coords_bwd)
+
+    if diff_img:
+        out = sample(img2d, xf, yf)
+    else:
+        img2d = jax.lax.stop_gradient(img2d)
+        out = sample_coords(xf, yf)
     out = out[:, :P].reshape(B, *out_spatial, C)
     return out

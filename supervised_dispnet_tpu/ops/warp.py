@@ -186,7 +186,10 @@ def inverse_warp(
     if use_pallas:
         from supervised_dispnet_tpu.ops.pallas.warp import bilinear_sample_pallas
 
-        warped = bilinear_sample_pallas(img, x, y, padding_mode=padding_mode)
+        # the warped source image is training DATA in the photometric loss:
+        # skip its (dead) gradient entirely — only depth/pose grads flow
+        warped = bilinear_sample_pallas(img, x, y, padding_mode=padding_mode,
+                                        diff_img=False)
     else:
         warped = bilinear_sample(img, x, y, padding_mode=padding_mode)
     return warped, valid

@@ -68,3 +68,26 @@ def test_grads_border_integer_coords_subgradient():
         bilinear_sample_pallas(i, x, y, interpret=True) ** 2))(img)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_coords_only_grads_match_diff_img_variant():
+    """diff_img=False must give identical x/y grads to the full variant."""
+    img, x, y = _case(B=1, H=10, W=14, C=2, Ho=5, Wo=6, seed=4, spread=1.0)
+
+    def loss(fn):
+        return lambda x, y: jnp.sum(fn(x, y) ** 2)
+
+    full = loss(lambda x, y: bilinear_sample_pallas(img, x, y, interpret=True))
+    coords = loss(lambda x, y: bilinear_sample_pallas(
+        img, x, y, interpret=True, diff_img=False))
+
+    g_full = jax.grad(full, argnums=(0, 1))(x, y)
+    g_coords = jax.grad(coords, argnums=(0, 1))(x, y)
+    for a, b in zip(g_coords, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # forward equal too
+    np.testing.assert_allclose(
+        np.asarray(bilinear_sample_pallas(img, x, y, interpret=True, diff_img=False)),
+        np.asarray(bilinear_sample_pallas(img, x, y, interpret=True)),
+        rtol=1e-6)
