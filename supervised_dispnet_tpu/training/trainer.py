@@ -95,7 +95,20 @@ class Trainer:
         self.cfg = cfg
         self.disp_model = disp_model
         self.pose_model = pose_model
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            import jax
+
+            devices = jax.devices()
+            # the batch axis shards over the mesh: use the largest device
+            # count that divides the batch size
+            n = len(devices)
+            while n > 1 and cfg.batch_size % n != 0:
+                n -= 1
+            if n != len(devices):
+                print(f"=> batch {cfg.batch_size} not divisible by "
+                      f"{len(devices)} devices; using {n}")
+            mesh = make_mesh(devices[:n])
+        self.mesh = mesh
         if cfg.debug_nans:
             import jax
 

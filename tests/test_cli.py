@@ -142,3 +142,38 @@ def test_test_pose_cli(tmp_path, capsys):
     assert "ATE" in out and "RE" in out
     ate = float(out.split("ATE")[1].split("+/-")[0])
     assert np.isfinite(ate)
+
+
+def test_train_cli_end_to_end(tmp_path, monkeypatch):
+    """cli/train.py main(): tiny dump -> 1 supervised epoch -> checkpoint."""
+    import imageio.v2 as imageio
+
+    from supervised_dispnet_tpu.cli.train import main
+
+    H, W = 32, 64
+    root = tmp_path / "dump"
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    for s in ("scene_a", "scene_b"):
+        d = root / s
+        d.mkdir(parents=True)
+        np.savetxt(d / "cam.txt", K)
+        for i in range(4):
+            imageio.imwrite(d / f"{i:010d}.jpg",
+                            rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+            depth = rng.uniform(1, 60, (H, W)).astype(np.float32)
+            np.save(d / f"{i:010d}.npy", depth)
+    (root / "train.txt").write_text("scene_a\n")
+    (root / "val.txt").write_text("scene_b\n")
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        str(root), "--network", "disp_res_18", "--loss", "l1",
+        "--epochs", "1", "-b", "2", "-j", "2",
+        "--img-height", str(H), "--img-width", str(W),
+        "--name", "cli_smoke",
+    ])
+    runs = list((tmp_path / "checkpoints" / "cli_smoke").iterdir())
+    assert len(runs) == 1
+    assert (runs[0] / "metrics.jsonl").exists()
+    assert (runs[0] / "ckpts").exists()
