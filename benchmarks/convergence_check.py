@@ -42,6 +42,14 @@ def main() -> None:
                     help="bf16 trunk compute (fp32 params/heads)")
     args = ap.parse_args()
 
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import optax
 
