@@ -46,11 +46,13 @@ class DispResNet(nn.Module):
     num_bins: int = 64
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params fp32
     remat: bool = False  # checkpoint encoder blocks (memory for FLOPs)
+    fold_bn: bool = False  # serving: BN absorbed into conv weights
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         enc = ResNetEncoder(self.encoder_depth, dtype=self.dtype,
-                            remat=self.remat, name="encoder")(x, train=train)
+                            remat=self.remat, fold_bn=self.fold_bn,
+                            name="encoder")(x, train=train)
         # enc: strides [2, 4, 8, 16, 32]
 
         outputs_feats = {}

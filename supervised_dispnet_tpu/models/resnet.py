@@ -17,28 +17,36 @@ import flax.linen as nn
 kaiming_normal = nn.initializers.kaiming_normal()
 
 
+def _make_norm(fold_bn, train, dtype):
+    """BatchNorm, or identity when running with folded (absorbed) BN."""
+    if fold_bn:
+        return lambda name: (lambda h: h)
+    return lambda name: nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=name,
+    )
+
+
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: object = None
+    fold_bn: bool = False  # inference: BN absorbed into conv weights/bias
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name
-        )
+        norm = _make_norm(self.fold_bn, train, self.dtype)
         identity = x
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
+                    use_bias=self.fold_bn, kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
         h = norm("bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+        h = nn.Conv(self.features, (3, 3), padding=1, use_bias=self.fold_bn,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv2")(h)
         h = norm("bn2")(h)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
-                               use_bias=False, kernel_init=kaiming_normal,
+                               use_bias=self.fold_bn, kernel_init=kaiming_normal,
                                dtype=self.dtype, name="downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
         return nn.relu(h + identity)
@@ -49,27 +57,26 @@ class Bottleneck(nn.Module):
     stride: int = 1
     expansion: int = 4
     dtype: object = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name
-        )
+        norm = _make_norm(self.fold_bn, train, self.dtype)
         out_ch = self.features * self.expansion
         identity = x
         h = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(norm("bn1")(h))
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, kernel_init=kaiming_normal, dtype=self.dtype, name="conv2")(h)
+                    use_bias=self.fold_bn, kernel_init=kaiming_normal,
+                    dtype=self.dtype, name="conv2")(h)
         h = nn.relu(norm("bn2")(h))
-        h = nn.Conv(out_ch, (1, 1), use_bias=False,
+        h = nn.Conv(out_ch, (1, 1), use_bias=self.fold_bn,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv3")(h)
         h = norm("bn3")(h)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), (self.stride, self.stride),
-                               use_bias=False, kernel_init=kaiming_normal,
+                               use_bias=self.fold_bn, kernel_init=kaiming_normal,
                                dtype=self.dtype, name="downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
         return nn.relu(h + identity)
@@ -88,6 +95,7 @@ class ResNetEncoder(nn.Module):
     depth: int = 18
     dtype: object = None
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
+    fold_bn: bool = False  # inference: BN absorbed (see utils/fold_bn.py)
 
     @property
     def feature_channels(self) -> Sequence[int]:
@@ -99,10 +107,9 @@ class ResNetEncoder(nn.Module):
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
         feats = []
-        h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+        h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=self.fold_bn,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(h)
+        h = _make_norm(self.fold_bn, train, self.dtype)("bn1")(h)
         h = nn.relu(h)
         feats.append(h)  # 1/2
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -112,6 +119,7 @@ class ResNetEncoder(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 h = block_cls(width, stride, dtype=self.dtype,
+                              fold_bn=self.fold_bn,
                               name=f"layer{stage + 1}_{b}")(h, train)
             feats.append(h)  # 1/4, 1/8, 1/16, 1/32
         return feats

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import torch
 
 from supervised_dispnet_tpu.models import DispNetS, PoseExpNet
+from supervised_dispnet_tpu.models import DispResNet as DispResNetModel
 from supervised_dispnet_tpu.models.resnet import ResNetEncoder
 from supervised_dispnet_tpu.utils.checkpoint import (
     convert_dispnet,
@@ -108,3 +109,38 @@ def test_load_torch_state_dict_strips_dataparallel(tmp_path):
     assert "conv1.0.weight" in sd
     params = convert_dispnet(sd)
     assert "conv1" in params
+
+
+def test_bn_folding_preserves_outputs():
+    """DispResNet with folded BN == original eval forward (serving path)."""
+    from supervised_dispnet_tpu.utils.fold_bn import fold_dispresnet
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, H, W, 3)).astype(np.float32))
+    model = DispResNetModel(encoder_depth=18)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # perturb BN stats away from init so folding is non-trivial
+    import flax
+
+    bs = flax.core.unfreeze(variables["batch_stats"])
+
+    def perturb(t):
+        r = np.random.default_rng(1)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                np.abs(r.standard_normal(a.shape)).astype(np.float32) + 0.5
+            )
+            if a.ndim else a,
+            t,
+        )
+
+    bs = perturb(bs)
+    variables = {"params": variables["params"], "batch_stats": bs}
+    ref = model.apply(variables, x, train=False)
+
+    folded_params = fold_dispresnet(variables["params"], bs)
+    folded_model = DispResNetModel(encoder_depth=18, fold_bn=True)
+    got = folded_model.apply({"params": folded_params}, x, train=False)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
