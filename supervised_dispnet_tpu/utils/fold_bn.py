@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -26,7 +27,9 @@ def _fold_pair(conv: dict, bn_params: dict, bn_stats: dict, eps: float = 1e-5):
     new_kernel = k * g  # broadcasts over the trailing (output) axis
     bias = np.asarray(conv.get("bias", 0.0), dtype=np.float32)
     new_bias = (bias - mean) * g + beta
-    return {"kernel": new_kernel, "bias": new_bias}
+    # return device arrays: numpy leaves would be re-transferred to the
+    # device on every jitted call (catastrophic over a remote tunnel)
+    return {"kernel": jnp.asarray(new_kernel), "bias": jnp.asarray(new_bias)}
 
 
 def fold_resnet_encoder(params: dict, batch_stats: dict, eps: float = 1e-5) -> dict:
