@@ -36,13 +36,9 @@ ITERS = 25
 def main() -> None:
     import jax
 
-    # persistent compile cache: first-ever compile of this model takes
-    # minutes through the remote-compile tunnel; subsequent bench runs reuse it
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

@@ -44,11 +44,9 @@ def main() -> None:
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
     import optax

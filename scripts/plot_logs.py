@@ -32,7 +32,6 @@ def main() -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    n_val = len([k for k in val if k != "train_loss"])
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
     axes[0].plot(iters, losses, lw=0.7)
     axes[0].set_title("train loss")

@@ -64,7 +64,7 @@ class Bottleneck(nn.Module):
         norm = _make_norm(self.fold_bn, train, self.dtype)
         out_ch = self.features * self.expansion
         identity = x
-        h = nn.Conv(self.features, (1, 1), use_bias=False,
+        h = nn.Conv(self.features, (1, 1), use_bias=self.fold_bn,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(norm("bn1")(h))
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,

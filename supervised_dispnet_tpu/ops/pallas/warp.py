@@ -124,6 +124,29 @@ def _fwd_kernel(img_ref, x_ref, y_ref, out_ref, *, H, W, C, padding_mode):
     out_ref[0] = out
 
 
+def _coord_grads(img2d, x, y, g, H, W, C, padding_mode):
+    """Shared coordinate-gradient math for both backward kernels:
+    dout/dx = wy0 (c01 - c00) + wy1 (c11 - c10) (and symmetric for dy),
+    with border-clip saturation zeroing."""
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _corner_setup(x, y, H, W, padding_mode)
+    rows0 = _row_gather(img2d, y0, H)
+    rows1 = _row_gather(img2d, y1, H)
+    one = jnp.ones_like(wx0)
+    c00 = _col_select(rows0, x0, one, W, C)
+    c01 = _col_select(rows0, x1, one, W, C)
+    c10 = _col_select(rows1, x0, one, W, C)
+    c11 = _col_select(rows1, x1, one, W, C)
+    dx = jnp.sum(g * (wy0[:, None] * (c01 - c00) + wy1[:, None] * (c11 - c10)),
+                 axis=1)
+    dy = jnp.sum(g * (wx0[:, None] * (c10 - c00) + wx1[:, None] * (c11 - c01)),
+                 axis=1)
+    if padding_mode == "border":
+        # clip saturates outside [0, dim-1]: d clip/d coord = 0 there
+        dx = dx * ((x >= 0) & (x <= W - 1)).astype(jnp.float32)
+        dy = dy * ((y >= 0) & (y <= H - 1)).astype(jnp.float32)
+    return dx, dy, (x0, x1, y0, y1, wx0, wx1, wy0, wy1)
+
+
 def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
                 *, H, W, C, padding_mode, n_blocks):
     """Image gradient (transposed one-hot matmuls, accumulated over the
@@ -135,27 +158,9 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref,
     y = y_ref[0].astype(jnp.float32).reshape(BLOCK_P)
     g = g_ref[0].astype(jnp.float32)  # (BLOCK_P, C)
 
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _corner_setup(x, y, H, W, padding_mode)
+    dx, dy, (x0, x1, y0, y1, wx0, wx1, wy0, wy1) = _coord_grads(
+        img2d, x, y, g, H, W, C, padding_mode)
     P = x.shape[0]
-
-    # ---- coordinate gradients (need corner values) ----
-    rows0 = _row_gather(img2d, y0, H)
-    rows1 = _row_gather(img2d, y1, H)
-    one = jnp.ones_like(wx0)
-    c00 = _col_select(rows0, x0, one, W, C)
-    c01 = _col_select(rows0, x1, one, W, C)
-    c10 = _col_select(rows1, x0, one, W, C)
-    c11 = _col_select(rows1, x1, one, W, C)
-    # d out / d x = wy0 (c01 - c00) + wy1 (c11 - c10); weights already carry
-    # the per-corner zero-padding masks
-    dx = jnp.sum(g * (wy0[:, None] * (c01 - c00) + wy1[:, None] * (c11 - c10)),
-                 axis=1)
-    dy = jnp.sum(g * (wx0[:, None] * (c10 - c00) + wx1[:, None] * (c11 - c01)),
-                 axis=1)
-    if padding_mode == "border":
-        # clip saturates outside [0, dim-1]: d clip/d coord = 0 there
-        dx = dx * ((x >= 0) & (x <= W - 1)).astype(jnp.float32)
-        dy = dy * ((y >= 0) & (y <= H - 1)).astype(jnp.float32)
     dx_ref[0] = dx.reshape(BLOCK_ROWS, LANES)
     dy_ref[0] = dy.reshape(BLOCK_ROWS, LANES)
 
@@ -199,21 +204,7 @@ def _bwd_coords_kernel(img_ref, x_ref, y_ref, g_ref, dx_ref, dy_ref,
     y = y_ref[0].astype(jnp.float32).reshape(BLOCK_P)
     g = g_ref[0].astype(jnp.float32)
 
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _corner_setup(x, y, H, W, padding_mode)
-    rows0 = _row_gather(img2d, y0, H)
-    rows1 = _row_gather(img2d, y1, H)
-    one = jnp.ones_like(wx0)
-    c00 = _col_select(rows0, x0, one, W, C)
-    c01 = _col_select(rows0, x1, one, W, C)
-    c10 = _col_select(rows1, x0, one, W, C)
-    c11 = _col_select(rows1, x1, one, W, C)
-    dx = jnp.sum(g * (wy0[:, None] * (c01 - c00) + wy1[:, None] * (c11 - c10)),
-                 axis=1)
-    dy = jnp.sum(g * (wx0[:, None] * (c10 - c00) + wx1[:, None] * (c11 - c01)),
-                 axis=1)
-    if padding_mode == "border":
-        dx = dx * ((x >= 0) & (x <= W - 1)).astype(jnp.float32)
-        dy = dy * ((y >= 0) & (y <= H - 1)).astype(jnp.float32)
+    dx, dy, _ = _coord_grads(img2d, x, y, g, H, W, C, padding_mode)
     dx_ref[0] = dx.reshape(BLOCK_ROWS, LANES)
     dy_ref[0] = dy.reshape(BLOCK_ROWS, LANES)
 

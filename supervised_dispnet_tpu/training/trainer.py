@@ -96,8 +96,6 @@ class Trainer:
         self.disp_model = disp_model
         self.pose_model = pose_model
         if mesh is None:
-            import jax
-
             devices = jax.devices()
             # the batch axis shards over the mesh: use the largest device
             # count that divides the batch size
@@ -110,8 +108,6 @@ class Trainer:
             mesh = make_mesh(devices[:n])
         self.mesh = mesh
         if cfg.debug_nans:
-            import jax
-
             jax.config.update("jax_debug_nans", True)
         self.tb = None
         self.selfsup = cfg.loss == "selfsup"

@@ -18,6 +18,19 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(path: str = "/tmp/jax_comp_cache",
+                         min_compile_secs: int = 10) -> None:
+    """Persistent XLA compile cache — first compiles through the remote
+    tunnel take minutes; cached reruns are instant. Safe to call anytime
+    before heavy compiles; ignored if unsupported."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def trace(logdir: str | Path):
     """Capture a jax.profiler trace around a code block."""

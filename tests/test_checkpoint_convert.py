@@ -111,13 +111,15 @@ def test_load_torch_state_dict_strips_dataparallel(tmp_path):
     assert "conv1" in params
 
 
-def test_bn_folding_preserves_outputs():
-    """DispResNet with folded BN == original eval forward (serving path)."""
+@pytest.mark.parametrize("depth", [18, 50])
+def test_bn_folding_preserves_outputs(depth):
+    """DispResNet with folded BN == original eval forward (serving path) —
+    both BasicBlock (18) and Bottleneck (50) fold paths."""
     from supervised_dispnet_tpu.utils.fold_bn import fold_dispresnet
 
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(-1, 1, (2, H, W, 3)).astype(np.float32))
-    model = DispResNetModel(encoder_depth=18)
+    model = DispResNetModel(encoder_depth=depth)
     variables = model.init(jax.random.PRNGKey(0), x)
     # perturb BN stats away from init so folding is non-trivial
     import flax
@@ -139,7 +141,7 @@ def test_bn_folding_preserves_outputs():
     ref = model.apply(variables, x, train=False)
 
     folded_params = fold_dispresnet(variables["params"], bs)
-    folded_model = DispResNetModel(encoder_depth=18, fold_bn=True)
+    folded_model = DispResNetModel(encoder_depth=depth, fold_bn=True)
     got = folded_model.apply({"params": folded_params}, x, train=False)
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
