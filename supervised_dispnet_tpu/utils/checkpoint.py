@@ -235,3 +235,44 @@ def convert_resnet_encoder(sd: dict, depth: int = 18, prefix: str = ""):
             params[name] = blk_p
             stats[name] = blk_s
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# flax -> torch export (reverse interop: models trained here usable by
+# torch-based reference tooling)
+# ---------------------------------------------------------------------------
+
+def j2t_conv(k) -> np.ndarray:
+    """flax conv kernel (kh, kw, I, O) -> torch Conv2d weight (O, I, kh, kw)."""
+    return np.asarray(k).transpose(3, 2, 0, 1)
+
+
+def j2t_conv_transpose(k) -> np.ndarray:
+    """flax ConvTranspose kernel -> torch ConvTranspose2d weight (inverse of
+    t2j_conv_transpose: unflip spatially, (kh, kw, I, O) -> (I, O, kh, kw))."""
+    return np.asarray(k)[::-1, ::-1].transpose(2, 3, 0, 1).copy()
+
+
+def export_dispnet_to_torch(params: dict) -> dict:
+    """Our flax DispNetS params -> a reference-layout torch state_dict
+    (numpy values; wrap with torch.as_tensor to save as .pth.tar)."""
+    sd: dict[str, np.ndarray] = {}
+    for i in range(1, 8):
+        a = params[f"conv{i}"]["conv_a"]["Conv_0"]
+        b = params[f"conv{i}"]["conv_b"]["Conv_0"]
+        sd[f"conv{i}.0.weight"] = j2t_conv(a["kernel"])
+        sd[f"conv{i}.0.bias"] = np.asarray(a["bias"])
+        sd[f"conv{i}.2.weight"] = j2t_conv(b["kernel"])
+        sd[f"conv{i}.2.bias"] = np.asarray(b["bias"])
+    for i in range(1, 8):
+        u = params[f"upconv{i}"]["ConvTranspose_0"]
+        sd[f"upconv{i}.0.weight"] = j2t_conv_transpose(u["kernel"])
+        sd[f"upconv{i}.0.bias"] = np.asarray(u["bias"])
+        c = params[f"iconv{i}"]["Conv_0"]
+        sd[f"iconv{i}.0.weight"] = j2t_conv(c["kernel"])
+        sd[f"iconv{i}.0.bias"] = np.asarray(c["bias"])
+    for i in range(1, 5):
+        h = params[f"predict_disp{i}"]["Conv_0"]
+        sd[f"predict_disp{i}.0.weight"] = j2t_conv(h["kernel"])
+        sd[f"predict_disp{i}.0.bias"] = np.asarray(h["bias"])
+    return sd

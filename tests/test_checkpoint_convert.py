@@ -146,3 +146,27 @@ def test_bn_folding_preserves_outputs(depth):
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_flax_to_torch_export_roundtrip():
+    """Export our flax DispNetS to a torch state_dict; the torch fixture
+    must load it and produce the same forward as the flax model."""
+    from supervised_dispnet_tpu.utils.checkpoint import export_dispnet_to_torch
+
+    model = DispNetS()
+    x = jnp.zeros((1, H, W, 3))
+    params = model.init(jax.random.PRNGKey(3), x)["params"]
+
+    sd_np = export_dispnet_to_torch(params)
+    tmodel = TorchDispNetS()
+    tmodel.load_state_dict({k: torch.as_tensor(v.copy()) for k, v in sd_np.items()})
+    tmodel.eval()
+
+    rng = np.random.default_rng(3)
+    xin = rng.standard_normal((1, 3, H, W)).astype(np.float32)
+    with torch.no_grad():
+        t_disps = tmodel(torch.from_numpy(xin))
+    j_disps = model.apply({"params": params}, jnp.asarray(xin.transpose(0, 2, 3, 1)))
+    for td, jd in zip(t_disps, j_disps):
+        np.testing.assert_allclose(np.asarray(jd)[..., 0], td.numpy()[:, 0],
+                                   rtol=1e-3, atol=2e-4)
