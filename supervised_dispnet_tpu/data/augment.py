@@ -45,6 +45,7 @@ class AugmentConfig:
     brightness: float = 0.2
     contrast: float = 0.2
     saturation: float = 0.2
+    hue: float = 0.0  # max hue rotation as a fraction of the color wheel
     # reference default is 0.5/0.5 normalization; --imagenet-normalization
     # switches to ImageNet stats (reference: train.py flag)
     mean: tuple[float, float, float] = HALF_MEAN
@@ -73,7 +74,7 @@ def augment_batch(
       (imgs, intrinsics[, depth]) with imgs normalized; same shapes.
     """
     B, S, H, W, _ = imgs.shape
-    k_scale, k_ox, k_oy, k_flip, k_b, k_c, k_s = jax.random.split(key, 7)
+    k_scale, k_ox, k_oy, k_flip, k_b, k_c, k_s, k_h = jax.random.split(key, 8)
     f32 = jnp.float32
 
     if config.scale_crop:
@@ -141,6 +142,22 @@ def augment_batch(
             0.299 * out[..., 0:1] + 0.587 * out[..., 1:2] + 0.114 * out[..., 2:3]
         )
         out = jnp.clip((out - gray) * s + gray, 0.0, 1.0)
+        if config.hue > 0:
+            # hue rotation in YIQ space (torch ColorJitter hue equivalent)
+            theta = jax.random.uniform(
+                k_h, (B, 1, 1, 1), f32,
+                -config.hue * 2 * jnp.pi, config.hue * 2 * jnp.pi)
+            to_yiq = jnp.array([[0.299, 0.587, 0.114],
+                                [0.596, -0.274, -0.322],
+                                [0.211, -0.523, 0.312]], f32)
+            to_rgb = jnp.linalg.inv(to_yiq)
+            yiq = jnp.einsum("ij,bshwj->bshwi", to_yiq, out)
+            cos_t = jnp.cos(theta)[:, None]
+            sin_t = jnp.sin(theta)[:, None]
+            i_rot = yiq[..., 1:2] * cos_t - yiq[..., 2:3] * sin_t
+            q_rot = yiq[..., 1:2] * sin_t + yiq[..., 2:3] * cos_t
+            yiq = jnp.concatenate([yiq[..., 0:1], i_rot, q_rot], axis=-1)
+            out = jnp.clip(jnp.einsum("ij,bshwj->bshwi", to_rgb, yiq), 0.0, 1.0)
 
     mean = jnp.asarray(config.mean, f32)
     std = jnp.asarray(config.std, f32)

@@ -73,6 +73,7 @@ class TrainerConfig:
     #   (reference: train.py --training-output-freq)
     resume: bool = False  # auto-resume from the latest checkpoint in
     #   save_path (exact: params + optimizer + PRNG + step)
+    loader: str = "threads"  # 'threads' (BatchLoader) | 'grain' (multiprocess)
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -198,6 +199,40 @@ class Trainer:
                 self.cfg.data, seed=self.cfg.seed, train=False,
                 sequence_length=self.cfg.sequence_length, shuffle=False,
             )
+        if self.cfg.loader == "grain":
+            # multiprocess input pipeline for hosts where threads can't
+            # keep the chips fed (see data/grain_loader.py)
+            from supervised_dispnet_tpu.data.grain_loader import make_grain_loader
+
+            class _GrainEpochs:
+                """Rebuildable per-epoch iterable with a len()."""
+
+                def __init__(self, ds, shuffle, seed, batch, workers, epoch_size):
+                    self._args = (ds, shuffle, seed, batch, workers)
+                    n = len(ds) // batch
+                    self.epoch_size = min(epoch_size, n) if epoch_size else n
+                    self._epoch = 0
+
+                def __len__(self):
+                    return self.epoch_size
+
+                def __iter__(self):
+                    ds, shuffle, seed, batch, workers = self._args
+                    loader = make_grain_loader(
+                        ds, batch, shuffle=shuffle, seed=seed + self._epoch,
+                        num_workers=workers)
+                    self._epoch += 1
+                    for i, b in enumerate(loader):
+                        if i >= self.epoch_size:
+                            break
+                        yield b
+
+            train_loader = _GrainEpochs(
+                train_set, True, self.cfg.seed, self.cfg.batch_size,
+                self.cfg.workers, self.cfg.epoch_size)
+            val_loader = _GrainEpochs(
+                val_set, False, 0, self.cfg.batch_size, self.cfg.workers, 0)
+            return train_loader, val_loader
         train_loader = BatchLoader(
             train_set, self.cfg.batch_size, shuffle=True,
             num_workers=self.cfg.workers, seed=self.cfg.seed,

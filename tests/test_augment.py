@@ -155,3 +155,20 @@ def test_augmentation_statistics():
     if definite.sum() > 50:
         rate = flip[definite].mean()
         assert 0.3 < rate < 0.7, rate
+
+
+def test_hue_jitter_rotates_chroma_preserves_luma():
+    B, S, H, W = 4, 1, 8, 8
+    rng = np.random.default_rng(13)
+    imgs = jnp.asarray(rng.uniform(0.2, 0.8, (B, S, H, W, 3)).astype(np.float32))
+    _, K = _batch(B=B, S=S, H=H, W=W)
+    cfg = AugmentConfig(flip=False, scale_crop=False, color_jitter=True,
+                        brightness=0.0, contrast=0.0, saturation=0.0, hue=0.3,
+                        mean=(0, 0, 0), std=(1, 1, 1))
+    out = np.asarray(augment_batch(jax.random.PRNGKey(21), imgs, K, config=cfg)[0])
+    inp = np.asarray(imgs)
+    assert not np.allclose(out, inp, atol=1e-3)  # hue actually rotated
+    # luma (Y) is invariant under hue rotation (up to [0,1] clipping)
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    np.testing.assert_allclose(luma(out), luma(inp), atol=5e-2)

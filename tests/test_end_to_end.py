@@ -208,3 +208,21 @@ def test_batch_loader_propagates_dataset_errors():
     with pytest.raises(ValueError, match="corrupt sample"):
         for _ in loader:
             pass
+
+
+def test_trainer_with_grain_loader(dump_root, tmp_path):
+    """loader='grain' drives a full supervised epoch."""
+    pytest.importorskip("grain")
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        data=str(dump_root), save_path=str(tmp_path / "exp_grain"),
+        loss="l1", epochs=1, batch_size=2, workers=0,
+        img_height=H, img_width=W, loader="grain",
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, DispResNet(encoder_depth=18), mesh=mesh)
+    best = trainer.fit()
+    assert np.isfinite(best)
