@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the fused Pallas loss-reduction kernels "
                         "(berhu / classification)")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--loader", default="threads", choices=["threads", "grain"],
+                   help="host input pipeline backend")
     p.add_argument("-f", "--training-output-freq", type=int, default=0,
                    help="log disp images to tensorboard every N iters")
     p.add_argument("--name", default="exp", help="experiment name")
@@ -116,6 +118,7 @@ def main(argv: list[str] | None = None) -> None:
         use_pallas_warp=args.use_pallas_warp,
         use_pallas_losses=args.use_pallas_losses,
         debug_nans=args.debug_nans,
+        loader=args.loader,
         training_output_freq=args.training_output_freq,
     )
 
