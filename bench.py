@@ -66,6 +66,7 @@ def main() -> None:
     float(s)  # host readback forces the whole chain
     dt = time.perf_counter() - t0
 
+    assert jnp.isfinite(s), "non-finite output from the benchmark forward"
     n_chips = max(1, jax.device_count())
     images_per_sec = BATCH * ITERS / dt / n_chips
 

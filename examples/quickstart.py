@@ -1,0 +1,105 @@
+"""Quickstart: the full workflow on synthetic data, end to end.
+
+    python examples/quickstart.py [--workdir /tmp/sdt_quickstart]
+
+1. Synthesizes a tiny dumped dataset (prepare_train_data layout).
+2. Trains DispResNet-18 supervised (BerHu) for 2 epochs via the Trainer.
+3. Restores the best checkpoint and prints validation metrics.
+4. Runs folder inference and writes depth PNGs.
+5. Exports the forward pass as a StableHLO serving artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+H, W = 64, 160
+
+
+def make_dataset(root: Path, n_frames: int = 24) -> None:
+    import cv2
+
+    rng = np.random.default_rng(0)
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+    for scene in ("scene_train", "scene_val"):
+        d = root / scene
+        d.mkdir(parents=True, exist_ok=True)
+        np.savetxt(d / "cam.txt", K)
+        for i in range(n_frames):
+            # learnable structure: depth is a function of brightness
+            low = rng.uniform(0, 1, (H // 8, W // 8, 3)).astype(np.float32)
+            img = np.repeat(np.repeat(low, 8, axis=0), 8, axis=1)
+            depth = 5.0 + 40.0 * img.mean(axis=-1)
+            cv2.imwrite(str(d / f"{i:010d}.jpg"),
+                        (img[:, :, ::-1] * 255).astype(np.uint8))
+            np.save(d / f"{i:010d}.npy", depth.astype(np.float32))
+    (root / "train.txt").write_text("scene_train\n")
+    (root / "val.txt").write_text("scene_val\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", type=Path, default=Path("/tmp/sdt_quickstart"))
+    ap.add_argument("--epochs", type=int, default=2)
+    args = ap.parse_args()
+
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    data = args.workdir / "data"
+    print(f"=> synthesizing dataset under {data}")
+    make_dataset(data)
+
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    save = args.workdir / "run"
+    cfg = TrainerConfig(
+        data=str(data), save_path=str(save), loss="berhu",
+        epochs=args.epochs, batch_size=4, workers=2,
+        img_height=H, img_width=W, lr=1e-4,
+    )
+    trainer = Trainer(cfg, DispResNet(encoder_depth=18))
+    print("=> training")
+    best = trainer.fit()
+    print(f"=> best val abs_rel: {best:.4f}")
+
+    # inference on the val images
+    from supervised_dispnet_tpu.utils.viz import save_depth_png
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.data.augment import normalize_images
+    from supervised_dispnet_tpu.data.validation_folders import ValidationSet
+
+    out_dir = args.workdir / "predictions"
+    out_dir.mkdir(exist_ok=True)
+    val = ValidationSet(data)
+    sample = val[0]
+    img = normalize_images(jnp.asarray(sample["img"][None]))
+    disp = trainer._viz_forward(trainer.state.params, trainer.state.batch_stats, img)
+    save_depth_png(out_dir / "example_disp.png", np.asarray(disp)[0])
+    print(f"=> wrote {out_dir / 'example_disp.png'}")
+
+    # serving export
+    from supervised_dispnet_tpu.utils.export import export_forward
+
+    artifact = args.workdir / "dispresnet18.stablehlo"
+    export_forward(
+        trainer.disp_model,
+        {"params": trainer.state.params["disp"],
+         "batch_stats": trainer.state.batch_stats["disp"]},
+        artifact, batch_size=1, img_height=H, img_width=W,
+    )
+    print(f"=> exported serving artifact: {artifact} "
+          f"({artifact.stat().st_size // 1024} KiB)")
+
+
+if __name__ == "__main__":
+    main()
