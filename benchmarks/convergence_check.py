@@ -52,7 +52,6 @@ def main() -> None:
     import optax
 
     from supervised_dispnet_tpu.data.augment import AugmentConfig
-    from supervised_dispnet_tpu.losses import compute_errors
     from supervised_dispnet_tpu.models import get_disp_net
     from supervised_dispnet_tpu.training import (
         create_train_state,
