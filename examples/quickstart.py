@@ -70,21 +70,17 @@ def main() -> None:
     print("=> training")
     best = trainer.fit()
     print(f"=> best val abs_rel: {best:.4f}")
+    trainer.restore_best()  # inference/export below use the best weights
 
     # inference on the val images
     from supervised_dispnet_tpu.utils.viz import save_depth_png
-    import jax.numpy as jnp
-
-    from supervised_dispnet_tpu.data.augment import normalize_images
     from supervised_dispnet_tpu.data.validation_folders import ValidationSet
 
     out_dir = args.workdir / "predictions"
     out_dir.mkdir(exist_ok=True)
     val = ValidationSet(data)
-    sample = val[0]
-    img = normalize_images(jnp.asarray(sample["img"][None]))
-    disp = trainer._viz_forward(trainer.state.params, trainer.state.batch_stats, img)
-    save_depth_png(out_dir / "example_disp.png", np.asarray(disp)[0])
+    disp = trainer.predict(val[0]["img"][None])
+    save_depth_png(out_dir / "example_disp.png", disp[0])
     print(f"=> wrote {out_dir / 'example_disp.png'}")
 
     # serving export

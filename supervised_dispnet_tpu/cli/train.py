@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-bins", type=int, default=64)
     p.add_argument("--max-depth", type=float, default=80.0)
     p.add_argument("--imagenet-normalization", action="store_true")
+    p.add_argument("--hue", type=float, default=0.0,
+                   help="hue-jitter amplitude (fraction of the color wheel)")
     p.add_argument("--with-gt", action="store_true",
                    help="validate against dumped GT depth (always on here)")
     p.add_argument("-j", "--workers", type=int, default=4)
@@ -111,6 +113,7 @@ def main(argv: list[str] | None = None) -> None:
         num_bins=args.num_bins,
         max_depth=args.max_depth,
         imagenet_normalization=args.imagenet_normalization,
+        hue=args.hue,
         workers=args.workers,
         seed=args.seed,
         img_height=args.img_height,

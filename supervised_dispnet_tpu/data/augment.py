@@ -74,7 +74,10 @@ def augment_batch(
       (imgs, intrinsics[, depth]) with imgs normalized; same shapes.
     """
     B, S, H, W, _ = imgs.shape
-    k_scale, k_ox, k_oy, k_flip, k_b, k_c, k_s, k_h = jax.random.split(key, 8)
+    k_scale, k_ox, k_oy, k_flip, k_b, k_c, k_s = jax.random.split(key, 7)
+    # hue key derived by fold_in so enabling hue does not perturb the other
+    # subkeys (keeps previously recorded seeded runs reproducible)
+    k_h = jax.random.fold_in(key, 99)
     f32 = jnp.float32
 
     if config.scale_crop:

@@ -61,6 +61,7 @@ class TrainerConfig:
     num_bins: int = 64
     max_depth: float = 80.0
     imagenet_normalization: bool = False
+    hue: float = 0.0  # hue-jitter amplitude (fraction of the color wheel)
     workers: int = 4
     seed: int = 0
     img_height: int = 128
@@ -86,9 +87,9 @@ def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
 def aug_config(cfg: TrainerConfig) -> AugmentConfig:
     from supervised_dispnet_tpu.data.augment import HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD
 
-    if cfg.imagenet_normalization:
-        return AugmentConfig(mean=IMAGENET_MEAN, std=IMAGENET_STD)
-    return AugmentConfig(mean=HALF_MEAN, std=HALF_STD)
+    mean, std = ((IMAGENET_MEAN, IMAGENET_STD) if cfg.imagenet_normalization
+                 else (HALF_MEAN, HALF_STD))
+    return AugmentConfig(mean=mean, std=std, hue=cfg.hue)
 
 
 class Trainer:
@@ -175,6 +176,21 @@ class Trainer:
 
         self._viz_forward = _jax.jit(_viz_forward)
 
+    def predict(self, images) -> "np.ndarray":
+        """Public inference entry: (B, H, W, 3) images in [0, 1] ->
+        (B, H, W) disparity (or decoded classification disparity) using the
+        current state. Normalization matches the training config."""
+        imgs = normalize_images(jnp.asarray(images), self.aug.mean, self.aug.std)
+        return np.asarray(self._viz_forward(
+            self.state.params, self.state.batch_stats, imgs))
+
+    def restore_best(self):
+        """Load the best (lowest val abs_rel) checkpoint into the state."""
+        from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+
+        self.state = restore_checkpoint(Path(self.cfg.save_path), self.state,
+                                        best=True)
+
     # -- data ---------------------------------------------------------------
     def make_loaders(self):
         from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
@@ -211,17 +227,21 @@ class Trainer:
                     self._args = (ds, shuffle, seed, batch, workers)
                     n = len(ds) // batch
                     self.epoch_size = min(epoch_size, n) if epoch_size else n
-                    self._epoch = 0
+                    self.epoch = 0  # advanced per-iteration; set on resume
 
                 def __len__(self):
                     return self.epoch_size
 
                 def __iter__(self):
                     ds, shuffle, seed, batch, workers = self._args
+                    # NOTE: a fresh DataLoader (and worker pool) per epoch —
+                    # simple and correct; for very long runs switch to a
+                    # persistent pool via IndexSampler(num_epochs=N)
+                    # (tracked in ROADMAP.md)
                     loader = make_grain_loader(
-                        ds, batch, shuffle=shuffle, seed=seed + self._epoch,
+                        ds, batch, shuffle=shuffle, seed=seed + self.epoch,
                         num_workers=workers)
-                    self._epoch += 1
+                    self.epoch += 1
                     for i, b in enumerate(loader):
                         if i >= self.epoch_size:
                             break
@@ -363,6 +383,8 @@ class Trainer:
             except FileNotFoundError:
                 pass
         train_loader, val_loader = self.make_loaders()
+        # continue the shuffle-order sequence where the previous run stopped
+        train_loader.epoch = start_epoch
         logger = TermLogger(cfg.epochs, len(train_loader), len(val_loader))
         csv = CsvLogger(save_path, append=start_epoch > 0)
         jsonl = JsonlLogger(save_path / "metrics.jsonl")
