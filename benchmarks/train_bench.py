@@ -70,6 +70,8 @@ def main() -> None:
         }
     else:
         model = get_disp_net("dispnet")
+        if hasattr(model, "dtype"):
+            model = model.clone(dtype=jnp.bfloat16)
         pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
         state = create_train_state(
             model, (tgt0,), optax.adam(1e-4),
