@@ -177,3 +177,36 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert len(runs) == 1
     assert (runs[0] / "metrics.jsonl").exists()
     assert (runs[0] / "ckpts").exists()
+
+
+def test_test_disp_cli_classification_orbax(kitti_raw_eval, tmp_path, capsys):
+    """Eigen eval CLI with a classification-head model restored from an
+    orbax checkpoint (BASELINE configs 2+4 combined path)."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.cli.test_disp import main
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.training import create_train_state
+    from supervised_dispnet_tpu.utils.checkpoint import save_checkpoint
+
+    root, list_file = kitti_raw_eval
+    model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
+    state = create_train_state(
+        model, (jnp.zeros((1, 32, 104, 3)),), optax.adamw(1e-4, weight_decay=0.01)
+    )
+    ckpt_dir = tmp_path / "clf_run"
+    save_checkpoint(ckpt_dir, state, step=0)
+
+    main([
+        "--pretrained-dispnet", str(ckpt_dir), "--network", "disp_res_18",
+        "--dataset-dir", str(root), "--dataset-list", str(list_file),
+        "--img-height", "32", "--img-width", "104",
+        "--classification", "--num-bins", "16", "--batch-size", "2",
+    ])
+    out = capsys.readouterr().out
+    last = out.strip().splitlines()[-1]
+    vals = [float(v) for v in last.split()]
+    assert len(vals) == 7 and all(np.isfinite(vals))

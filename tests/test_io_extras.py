@@ -78,3 +78,23 @@ def test_step_timer_and_steady_state():
     x = jnp.ones((8, 4))
     ips = steady_state_images_per_sec(fn, (x,), batch_size=8, iters=5, warmup=1)
     assert ips > 0
+
+
+def test_tensor2array_and_png(tmp_path):
+    from supervised_dispnet_tpu.utils.viz import save_depth_png, tensor2array
+
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(0, 50, (16, 24)).astype(np.float32)
+    rgb = tensor2array(depth, max_value=80.0)
+    assert rgb.shape == (16, 24, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    # image denormalization path
+    img = rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32)
+    out = tensor2array(img)
+    assert out.shape == (8, 8, 3) and out.min() >= 0 and out.max() <= 1
+
+    save_depth_png(tmp_path / "d.png", depth, max_value=80.0)
+    import imageio.v2 as imageio
+
+    loaded = imageio.imread(tmp_path / "d.png")
+    assert loaded.shape[:2] == (16, 24)
