@@ -60,12 +60,11 @@ def main(argv: list[str] | None = None) -> None:
     # disparity lists (depth = 1/disp)
     direct_depth = args.network == "fcrn"
 
+    from supervised_dispnet_tpu.models.common import apply_model
+
     @jax.jit
     def forward(x):
-        try:
-            out = model.apply(variables, x, train=False)
-        except TypeError:
-            out = model.apply(variables, x)
+        out = apply_model(model, variables, x)
         if isinstance(out, (list, tuple)):
             return out[0][..., 0]
         return out[..., 0]

@@ -45,21 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_params(path: str, network: str, model, img_hw):
+def load_params(path: str, network: str, model, img_hw, head: str = "disp"):
     """orbax dir or torch .pth.tar -> (params, batch_stats)."""
     import jax
     import jax.numpy as jnp
 
     p = Path(path)
     if p.is_file():
-        from supervised_dispnet_tpu.utils.checkpoint import (
-            convert_dispnet, load_torch_state_dict,
-        )
+        from supervised_dispnet_tpu.utils.checkpoint import load_torch_state_dict
+        from supervised_dispnet_tpu.utils.convert_models import convert_network
 
-        if network != "dispnet":
-            raise NotImplementedError("torch conversion CLI path supports dispnet")
         sd = load_torch_state_dict(p)
-        return convert_dispnet(sd), {}
+        return convert_network(sd, network, head=head)
     # orbax: raw restore — no optimizer template needed, so checkpoints
     # from any optimizer (adam, adamw, ...) load
     from supervised_dispnet_tpu.utils.checkpoint import restore_raw
@@ -88,7 +85,7 @@ def main(argv: list[str] | None = None) -> None:
     model = get_disp_net(args.network, head=head, num_bins=args.num_bins)
     img_hw = (args.img_height, args.img_width)
     params, batch_stats = load_params(
-        args.pretrained_dispnet, args.network, model, img_hw
+        args.pretrained_dispnet, args.network, model, img_hw, head=head
     )
     bins = DepthBins(num_bins=args.num_bins, max_depth=args.max_depth)
     mean = IMAGENET_MEAN if args.imagenet_normalization else HALF_MEAN
@@ -100,12 +97,11 @@ def main(argv: list[str] | None = None) -> None:
 
     import functools
 
+    from supervised_dispnet_tpu.models.common import apply_model
+
     @functools.partial(jax.jit, static_argnums=())
     def forward(x):
-        try:
-            out = model.apply(variables, x, train=False)
-        except TypeError:
-            out = model.apply(variables, x)
+        out = apply_model(model, variables, x)
         if args.classification:
             return logits_to_depth(out, bins)
         if isinstance(out, (list, tuple)):

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained-encoder", default=None,
                    help="torchvision resnet .pth state_dict for ImageNet "
                         "encoder init (disp_res_* networks)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the most recent run under "
+                        "<checkpoints-dir>/<name> exactly (params + "
+                        "optimizer + PRNG + epoch + best metric)")
     return p
 
 
@@ -91,6 +95,15 @@ def main(argv: list[str] | None = None) -> None:
 
     timestamp = datetime.datetime.now().strftime("%m-%d-%H.%M")
     save_path = Path(args.checkpoints_dir) / args.name / timestamp
+    if args.resume:
+        # continue the most recent run dir for this experiment name
+        runs = sorted(d for d in (Path(args.checkpoints_dir) / args.name).glob("*")
+                      if d.is_dir()) if (Path(args.checkpoints_dir) / args.name).exists() else []
+        if runs:
+            save_path = runs[-1]
+        else:
+            print(f"=> --resume: no previous run under "
+                  f"{Path(args.checkpoints_dir) / args.name}, starting fresh")
 
     cfg = TrainerConfig(
         data=args.data,
@@ -123,6 +136,7 @@ def main(argv: list[str] | None = None) -> None:
         debug_nans=args.debug_nans,
         loader=args.loader,
         training_output_freq=args.training_output_freq,
+        resume=args.resume,
     )
 
     head = "classification" if args.loss == "classification" else "disp"
@@ -144,7 +158,8 @@ def main(argv: list[str] | None = None) -> None:
 
     print(f"=> saving to {save_path}")
     best = trainer.fit()
-    print(f"=> best abs_rel {best:.4f}")
+    metric = "abs_rel" if trainer.val_with_gt else "photo_loss"
+    print(f"=> best val {metric} {best:.4f}")
 
 
 def _load_pretrained_disp(trainer, path: str, network: str) -> None:
@@ -155,19 +170,16 @@ def _load_pretrained_disp(trainer, path: str, network: str) -> None:
 
         trainer.state = restore_checkpoint(p, trainer.state)
         return
-    from supervised_dispnet_tpu.utils.checkpoint import (
-        convert_dispnet, load_torch_state_dict,
-    )
+    from supervised_dispnet_tpu.utils.checkpoint import load_torch_state_dict
+    from supervised_dispnet_tpu.utils.convert_models import convert_network
 
     sd = load_torch_state_dict(p)
-    if network == "dispnet":
-        trainer.state = trainer.state.replace(
-            params={**trainer.state.params, "disp": convert_dispnet(sd)}
-        )
-    else:
-        raise NotImplementedError(
-            f"torch conversion for {network} not wired into the CLI yet"
-        )
+    head = "classification" if trainer.classification else "disp"
+    params, stats = convert_network(sd, network, head=head)
+    trainer.state = trainer.state.replace(
+        params={**trainer.state.params, "disp": params},
+        batch_stats={**trainer.state.batch_stats, "disp": stats},
+    )
 
 
 def _load_pretrained_encoder(trainer, path: str, network: str) -> None:

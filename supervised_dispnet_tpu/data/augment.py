@@ -81,12 +81,15 @@ def augment_batch(
     f32 = jnp.float32
 
     if config.scale_crop:
-        scale = jax.random.uniform(k_scale, (B,), f32, 1.0, config.max_scale)
+        # independent x/y scalings, as the reference draws
+        # np.random.uniform(1, 1.15, 2) (custom_transforms.py::RandomScaleCrop)
+        sc = jax.random.uniform(k_scale, (B, 2), f32, 1.0, config.max_scale)
+        scale_x, scale_y = sc[:, 0], sc[:, 1]
     else:
-        scale = jnp.ones((B,), f32)
+        scale_x = scale_y = jnp.ones((B,), f32)
     # crop offset within the up-scaled image: [0, (s-1) * dim]
-    ox = jax.random.uniform(k_ox, (B,), f32) * (scale - 1.0) * W
-    oy = jax.random.uniform(k_oy, (B,), f32) * (scale - 1.0) * H
+    ox = jax.random.uniform(k_ox, (B,), f32) * (scale_x - 1.0) * W
+    oy = jax.random.uniform(k_oy, (B,), f32) * (scale_y - 1.0) * H
     if config.flip:
         do_flip = jax.random.bernoulli(k_flip, 0.5, (B,))
     else:
@@ -101,8 +104,8 @@ def augment_batch(
     jj = jax.lax.broadcasted_iota(f32, (B, W), 1)
     ii = jax.lax.broadcasted_iota(f32, (B, H), 1)
     jj = jnp.where(do_flip[:, None], (W - 1.0) - jj, jj)
-    xs = jnp.clip((jj + ox[:, None]) / scale[:, None], 0.0, W - 1)  # (B, W)
-    ys = jnp.clip((ii + oy[:, None]) / scale[:, None], 0.0, H - 1)  # (B, H)
+    xs = jnp.clip((jj + ox[:, None]) / scale_x[:, None], 0.0, W - 1)  # (B, W)
+    ys = jnp.clip((ii + oy[:, None]) / scale_y[:, None], 0.0, H - 1)  # (B, H)
 
     # tent weights: row i has taps floor(c) and floor(c)+1 with bilinear
     # weights (identical to the gather sampler's corner weighting)
@@ -120,10 +123,10 @@ def augment_batch(
 
     # intrinsics: scale then crop then flip
     # (reference: custom_transforms.py::RandomScaleCrop intrinsics rescale)
-    fx = intrinsics[:, 0, 0] * scale
-    fy = intrinsics[:, 1, 1] * scale
-    cx = intrinsics[:, 0, 2] * scale - ox
-    cy = intrinsics[:, 1, 2] * scale - oy
+    fx = intrinsics[:, 0, 0] * scale_x
+    fy = intrinsics[:, 1, 1] * scale_y
+    cx = intrinsics[:, 0, 2] * scale_x - ox
+    cy = intrinsics[:, 1, 2] * scale_y - oy
     cx = jnp.where(do_flip, (W - 1.0) - cx, cx)
     zeros = jnp.zeros_like(fx)
     ones = jnp.ones_like(fx)

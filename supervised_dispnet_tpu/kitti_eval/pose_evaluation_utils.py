@@ -50,7 +50,10 @@ def compute_ate(gt: np.ndarray, pred: np.ndarray) -> float:
     denom = float(np.sum(pred_xyz**2))
     scale = float(np.sum(gt_xyz * pred_xyz)) / denom if denom > 1e-12 else 1.0
     err = gt_xyz - scale * pred_xyz
-    return float(np.sqrt(np.mean(np.sum(err**2, axis=1))))
+    # Reference protocol (SfmLearner lineage): ||err||_F / snippet_length,
+    # i.e. sqrt(sum of squared per-axis errors) / N — NOT an RMSE. An RMSE
+    # form would be sqrt(N)x larger and incomparable to published tables.
+    return float(np.sqrt(np.sum(err**2)) / gt.shape[0])
 
 
 def compute_re(gt: np.ndarray, pred: np.ndarray) -> float:

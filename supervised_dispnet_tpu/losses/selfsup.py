@@ -68,6 +68,9 @@ def photometric_reconstruction_loss(
                 ref, depth, pose[:, r], K_s,
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
                 use_pallas=use_pallas_warp,
+                # the warped source is training DATA here — its gradient is
+                # dead; skipping it selects the cheaper coords-only VJP
+                diff_img=False,
             )
             diff = (tgt_s - warped) * valid[..., None].astype(tgt_s.dtype)
             if explainability_masks is not None:

@@ -20,6 +20,29 @@ DISP_BETA = 0.01
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
+def model_takes_train(model) -> bool:
+    """Whether the model's ``__call__`` accepts a ``train=`` kwarg
+    (BN-bearing models do; plain conv+ELU ones don't). Signature-based so
+    callers never have to catch TypeError around a full forward pass —
+    which would silently swallow and re-run a genuine TypeError raised
+    inside the model (ADVICE r1)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(type(model).__call__)
+    except (TypeError, ValueError):
+        return False
+    return "train" in sig.parameters
+
+
+def apply_model(model, variables, *args):
+    """Eval-mode forward that passes ``train=False`` only when the model's
+    signature takes it."""
+    if model_takes_train(model):
+        return model.apply(variables, *args, train=False)
+    return model.apply(variables, *args)
+
+
 class ConvELU(nn.Module):
     """3x3 (or kxk) conv + ELU."""
 

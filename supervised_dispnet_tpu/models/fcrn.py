@@ -6,9 +6,12 @@ channels, four up-projection blocks (residual two-branch upsample convs),
 and a direct metric-depth head (ReLU, not sigmoid-disparity).
 
 The original "up-projection" unpools with interleaved zeros then convolves
-5x5; on TPU that wastes 3/4 of the MXU work on zeros, so we use the
-equivalent resize-then-conv formulation (same receptive field, dense
-arithmetic) — an intentional TPU-first deviation, output semantics match.
+5x5. Materializing the zero-stuffed image and convolving it densely would
+waste 3/4 of the MXU work on zeros; instead we express the exact same
+operator as an input-dilated convolution (``lhs_dilation=2`` — the same
+mechanism XLA uses for conv gradients, which TPU executes natively without
+materializing zeros). Bit-level torch parity of unpool+conv is verified in
+tests/test_checkpoint_convert.py, and reference checkpoints convert 1:1.
 """
 
 from __future__ import annotations
@@ -22,24 +25,31 @@ from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
 
 class UpProjection(nn.Module):
-    """Residual up-projection block (Laina et al. fig. 3, dense form)."""
+    """Residual up-projection block (Laina et al. fig. 3).
+
+    The unpool(zero-stuff)+5x5-conv of the paper is computed as one
+    input-dilated conv: with y[2i]=x[i] (zeros elsewhere) and a 5x5 conv of
+    padding 2, out == Conv(x, input_dilation=2, padding=((2,3),(2,3))) —
+    identical math, no zero-stuffed tensor ever materialized.
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = resize_bilinear(x, x.shape[1] * 2, x.shape[2] * 2)
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
-        a = nn.Conv(self.features, (5, 5), padding=2, kernel_init=xavier_uniform,
-                    name="conv_a")(h)
+        unpool_conv = lambda name: nn.Conv(
+            self.features, (5, 5), padding=((2, 3), (2, 3)),
+            input_dilation=(2, 2), kernel_init=xavier_uniform, name=name,
+        )
+        a = unpool_conv("conv_a")(x)
         a = nn.relu(norm("bn_a")(a))
         a = nn.Conv(self.features, (3, 3), padding=1, kernel_init=xavier_uniform,
                     name="conv_a2")(a)
         a = norm("bn_a2")(a)
-        b = nn.Conv(self.features, (5, 5), padding=2, kernel_init=xavier_uniform,
-                    name="conv_b")(h)
+        b = unpool_conv("conv_b")(x)
         b = norm("bn_b")(b)
         return nn.relu(a + b)
 

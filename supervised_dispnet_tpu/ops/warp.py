@@ -159,6 +159,7 @@ def inverse_warp(
     rotation_mode: str = "euler",
     padding_mode: str = "zeros",
     use_pallas: bool = False,
+    diff_img: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Inverse-warp a source image to the target frame.
 
@@ -171,6 +172,10 @@ def inverse_warp(
       padding_mode: 'zeros' | 'border' for out-of-view samples.
       use_pallas: sample with the Pallas MXU-gather kernel
         (ops/pallas/warp.py) instead of the XLA gather path.
+      diff_img: propagate gradients to ``img``. The photometric loss passes
+        False (the warped source is training data there — its gradient is
+        dead), which also selects the cheaper coords-only Pallas VJP. Any
+        caller differentiating through the warped image must leave it True.
 
     Returns:
       (warped, valid): warped (B, H, W, C) source image resampled at the
@@ -183,13 +188,13 @@ def inverse_warp(
     # K @ [R|t]: rot part (B,3,3), translation part (B,3,1)
     proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
     x, y, valid = cam2pixel(cam_coords, proj[:, :, :3], proj[:, :, 3:])
+    if not diff_img:
+        img = jax.lax.stop_gradient(img)
     if use_pallas:
         from supervised_dispnet_tpu.ops.pallas.warp import bilinear_sample_pallas
 
-        # the warped source image is training DATA in the photometric loss:
-        # skip its (dead) gradient entirely — only depth/pose grads flow
         warped = bilinear_sample_pallas(img, x, y, padding_mode=padding_mode,
-                                        diff_img=False)
+                                        diff_img=diff_img)
     else:
         warped = bilinear_sample(img, x, y, padding_mode=padding_mode)
     return warped, valid

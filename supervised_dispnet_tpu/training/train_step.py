@@ -97,6 +97,8 @@ def create_train_state(
 
 def _apply(model, params, batch_stats, *args, train: bool):
     """Run a flax model handling optional batch_stats collections."""
+    from supervised_dispnet_tpu.models.common import model_takes_train
+
     variables = {"params": params}
     has_bn = bool(batch_stats)
     if has_bn:
@@ -104,9 +106,9 @@ def _apply(model, params, batch_stats, *args, train: bool):
     if train and has_bn:
         out, updates = model.apply(variables, *args, train=True, mutable=["batch_stats"])
         return out, updates["batch_stats"]
-    try:
+    if model_takes_train(model):
         out = model.apply(variables, *args, train=False)
-    except TypeError:
+    else:
         out = model.apply(variables, *args)
     return out, batch_stats
 

@@ -342,10 +342,7 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
             logger.valid_update(i)
-        errs = {k: v / max(n, 1) for k, v in sums.items()}
-        # abs_rel stand-in for best-model selection: photometric loss
-        errs["abs_rel"] = errs.get("photo_loss", 0.0)
-        return errs
+        return {k: v / max(n, 1) for k, v in sums.items()}
 
     def validate(self, loader, logger: TermLogger):
         """validate_with_gt (reference: ``train.py::validate_with_gt``)."""
@@ -364,10 +361,33 @@ class Trainer:
             logger.valid_update(i)
         return {k: v / max(n, 1) for k, v in sums.items()}
 
+    def _trainer_meta_path(self) -> Path:
+        return Path(self.cfg.save_path) / "trainer_meta.json"
+
+    def _save_trainer_meta(self, epoch: int, best: float) -> None:
+        """Sidecar recording the trainer-loop state that isn't part of the
+        model TrainState: the epoch the checkpoint belongs to (robust even
+        if someone saves mid-epoch with an explicit step=) and the best
+        validation metric so far (so resume never re-crowns a worse model
+        as 'best')."""
+        import json
+
+        self._trainer_meta_path().write_text(
+            json.dumps({"epoch": epoch, "best": best}))
+
+    def _load_trainer_meta(self) -> dict | None:
+        import json
+
+        p = self._trainer_meta_path()
+        if p.exists():
+            return json.loads(p.read_text())
+        return None
+
     def fit(self):
         cfg = self.cfg
         save_path = Path(cfg.save_path)
         start_epoch = 0
+        best = float("inf")
         if cfg.resume:
             try:
                 from supervised_dispnet_tpu.utils.checkpoint import (
@@ -377,9 +397,15 @@ class Trainer:
                 last = latest_checkpoint_step(save_path)
                 if last is not None:
                     self.state = restore_checkpoint(save_path, self.state)
-                    start_epoch = last + 1  # saved step == epoch index
-                    print(f"=> resumed after epoch {last} "
-                          f"(train step {int(self.state.step)})")
+                    meta = self._load_trainer_meta()
+                    if meta is not None:
+                        start_epoch = int(meta["epoch"]) + 1
+                        best = float(meta["best"])
+                    else:  # pre-sidecar checkpoints: saved step == epoch
+                        start_epoch = last + 1
+                    print(f"=> resumed after epoch {start_epoch - 1} "
+                          f"(train step {int(self.state.step)}, "
+                          f"best {best:.4g})")
             except FileNotFoundError:
                 pass
         train_loader, val_loader = self.make_loaders()
@@ -390,7 +416,10 @@ class Trainer:
         jsonl = JsonlLogger(save_path / "metrics.jsonl")
         from supervised_dispnet_tpu.utils.logging import make_tensorboard_writer
         self.tb = make_tensorboard_writer(save_path)
-        best = float("inf")
+        # best-model selection metric: val abs_rel when GT depth exists,
+        # otherwise the photometric validation loss (kept under its real
+        # name in logs — reference: train.py decisive error choice)
+        sel_key = "abs_rel" if self.val_with_gt else "photo_loss"
         for epoch in range(start_epoch, cfg.epochs):
             logger.epoch_start(epoch)
             train_loss = self.train_epoch(train_loader, logger, csv, jsonl)
@@ -402,14 +431,15 @@ class Trainer:
                 "val: " + ", ".join(f"{k}={v:.4f}" for k, v in errors.items())
             )
             jsonl.log(event="epoch", epoch=epoch, train_loss=train_loss, **errors)
-            csv.write_summary([train_loss, errors.get("abs_rel", 0.0)])
+            csv.write_summary([train_loss, errors.get(sel_key, 0.0)])
             if self.tb is not None:
                 self.tb.add_scalar("train/loss", train_loss, epoch)
                 for k, v in errors.items():
                     self.tb.add_scalar(f"val/{k}", v, epoch)
-            abs_rel = errors.get("abs_rel", float("inf"))
-            is_best = abs_rel < best
-            best = min(best, abs_rel)
+            decisive = errors.get(sel_key, float("inf"))
+            is_best = decisive < best
+            best = min(best, decisive)
             save_checkpoint(save_path, self.state, step=epoch, is_best=is_best)
+            self._save_trainer_meta(epoch, best)
         jsonl.close()
         return best

@@ -117,6 +117,24 @@ def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
 
 
+class ConversionError(KeyError):
+    pass
+
+
+def sd_get(sd: dict, key: str):
+    """sd[key] with a diagnostic listing near-miss keys on failure (e.g. a
+    checkpoint from a different --network family)."""
+    if key in sd:
+        return sd[key]
+    stem = key.split(".")[0]
+    near = sorted(k for k in sd if k.startswith(stem))[:8]
+    raise ConversionError(
+        f"state_dict key {key!r} not found; nearby keys: {near}. "
+        "Checkpoint/network mismatch, or the reference fork names this "
+        "layer differently (repoint the name map in utils/convert_models.py)."
+    )
+
+
 def t2j_conv(w) -> np.ndarray:
     """torch Conv2d weight (O, I, kh, kw) -> flax (kh, kw, I, O)."""
     return _np(w).transpose(2, 3, 1, 0)
@@ -143,24 +161,24 @@ def convert_dispnet(sd: dict) -> dict:
     p: dict[str, Any] = {}
     for i in range(1, 8):
         p[f"conv{i}"] = {
-            "conv_a": {"Conv_0": {"kernel": t2j_conv(sd[f"conv{i}.0.weight"]),
-                                   "bias": _np(sd[f"conv{i}.0.bias"])}},
-            "conv_b": {"Conv_0": {"kernel": t2j_conv(sd[f"conv{i}.2.weight"]),
-                                   "bias": _np(sd[f"conv{i}.2.bias"])}},
+            "conv_a": {"Conv_0": {"kernel": t2j_conv(sd_get(sd, f"conv{i}.0.weight")),
+                                   "bias": _np(sd_get(sd, f"conv{i}.0.bias"))}},
+            "conv_b": {"Conv_0": {"kernel": t2j_conv(sd_get(sd, f"conv{i}.2.weight")),
+                                   "bias": _np(sd_get(sd, f"conv{i}.2.bias"))}},
         }
     for i in range(1, 8):
         p[f"upconv{i}"] = {"ConvTranspose_0": {
-            "kernel": t2j_conv_transpose(sd[f"upconv{i}.0.weight"]),
-            "bias": _np(sd[f"upconv{i}.0.bias"]),
+            "kernel": t2j_conv_transpose(sd_get(sd, f"upconv{i}.0.weight")),
+            "bias": _np(sd_get(sd, f"upconv{i}.0.bias")),
         }}
         p[f"iconv{i}"] = {"Conv_0": {
-            "kernel": t2j_conv(sd[f"iconv{i}.0.weight"]),
-            "bias": _np(sd[f"iconv{i}.0.bias"]),
+            "kernel": t2j_conv(sd_get(sd, f"iconv{i}.0.weight")),
+            "bias": _np(sd_get(sd, f"iconv{i}.0.bias")),
         }}
     for i in range(1, 5):
         p[f"predict_disp{i}"] = {"Conv_0": {
-            "kernel": t2j_conv(sd[f"predict_disp{i}.0.weight"]),
-            "bias": _np(sd[f"predict_disp{i}.0.bias"]),
+            "kernel": t2j_conv(sd_get(sd, f"predict_disp{i}.0.weight")),
+            "bias": _np(sd_get(sd, f"predict_disp{i}.0.bias")),
         }}
     return p
 
@@ -170,34 +188,34 @@ def convert_pose_exp_net(sd: dict, output_exp: bool = True) -> dict:
     p: dict[str, Any] = {}
     for i in range(1, 8):
         p[f"conv{i}"] = {"Conv_0": {
-            "kernel": t2j_conv(sd[f"conv{i}.0.weight"]),
-            "bias": _np(sd[f"conv{i}.0.bias"]),
+            "kernel": t2j_conv(sd_get(sd, f"conv{i}.0.weight")),
+            "bias": _np(sd_get(sd, f"conv{i}.0.bias")),
         }}
     p["pose_pred"] = {
-        "kernel": t2j_conv(sd["pose_pred.weight"]),
-        "bias": _np(sd["pose_pred.bias"]),
+        "kernel": t2j_conv(sd_get(sd, "pose_pred.weight")),
+        "bias": _np(sd_get(sd, "pose_pred.bias")),
     }
     if output_exp:
         for i in range(1, 6):
             if f"upconv{i}.0.weight" in sd:
                 p[f"upconv{i}"] = {"ConvTranspose_0": {
-                    "kernel": t2j_conv_transpose(sd[f"upconv{i}.0.weight"]),
-                    "bias": _np(sd[f"upconv{i}.0.bias"]),
+                    "kernel": t2j_conv_transpose(sd_get(sd, f"upconv{i}.0.weight")),
+                    "bias": _np(sd_get(sd, f"upconv{i}.0.bias")),
                 }}
         for i in range(1, 5):
             key = f"predict_mask{i}.weight"
             if key in sd:
                 p[f"predict_mask{i}"] = {
                     "kernel": t2j_conv(sd[key]),
-                    "bias": _np(sd[f"predict_mask{i}.bias"]),
+                    "bias": _np(sd_get(sd, f"predict_mask{i}.bias")),
                 }
     return p
 
 
 def _convert_bn(sd: dict, prefix: str):
-    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
-    stats = {"mean": _np(sd[f"{prefix}.running_mean"]),
-             "var": _np(sd[f"{prefix}.running_var"])}
+    params = {"scale": _np(sd_get(sd, f"{prefix}.weight")), "bias": _np(sd_get(sd, f"{prefix}.bias"))}
+    stats = {"mean": _np(sd_get(sd, f"{prefix}.running_mean")),
+             "var": _np(sd_get(sd, f"{prefix}.running_var"))}
     return params, stats
 
 
@@ -210,7 +228,7 @@ def convert_resnet_encoder(sd: dict, depth: int = 18, prefix: str = ""):
 
     block_cls, stage_sizes, _ = RESNET_SPECS[depth]
     n_convs = 3 if block_cls.__name__ == "Bottleneck" else 2
-    params: dict[str, Any] = {"conv1": {"kernel": t2j_conv(sd["conv1.weight"])}}
+    params: dict[str, Any] = {"conv1": {"kernel": t2j_conv(sd_get(sd, "conv1.weight"))}}
     bn_p, bn_s = _convert_bn(sd, "bn1")
     params["bn1"] = bn_p
     stats: dict[str, Any] = {"bn1": bn_s}
@@ -221,13 +239,13 @@ def convert_resnet_encoder(sd: dict, depth: int = 18, prefix: str = ""):
             blk_p: dict[str, Any] = {}
             blk_s: dict[str, Any] = {}
             for c in range(1, n_convs + 1):
-                blk_p[f"conv{c}"] = {"kernel": t2j_conv(sd[f"{t_pref}.conv{c}.weight"])}
+                blk_p[f"conv{c}"] = {"kernel": t2j_conv(sd_get(sd, f"{t_pref}.conv{c}.weight"))}
                 bp, bs = _convert_bn(sd, f"{t_pref}.bn{c}")
                 blk_p[f"bn{c}"] = bp
                 blk_s[f"bn{c}"] = bs
             if f"{t_pref}.downsample.0.weight" in sd:
                 blk_p["downsample_conv"] = {
-                    "kernel": t2j_conv(sd[f"{t_pref}.downsample.0.weight"])
+                    "kernel": t2j_conv(sd_get(sd, f"{t_pref}.downsample.0.weight"))
                 }
                 bp, bs = _convert_bn(sd, f"{t_pref}.downsample.1")
                 blk_p["downsample_bn"] = bp

@@ -26,11 +26,10 @@ def export_forward(
     """Serialize model.apply(variables, x)[finest] for fixed input shape."""
     from jax import export as jax_export
 
+    from supervised_dispnet_tpu.models.common import apply_model
+
     def forward(x):
-        try:
-            out = model.apply(variables, x, train=False)
-        except TypeError:
-            out = model.apply(variables, x)
+        out = apply_model(model, variables, x)
         if isinstance(out, (list, tuple)):
             return out[0]
         return out

@@ -130,18 +130,19 @@ def test_augmentation_statistics():
     new_K = np.asarray(new_K)
     K = np.asarray(K)
 
+    # independent x/y scalings, each uniform on [1, 1.15] (reference draws
+    # np.random.uniform(1, 1.15, 2) in RandomScaleCrop)
     scale = new_K[:, 0, 0] / K[:, 0, 0]
-    assert scale.min() >= 1.0 - 1e-5 and scale.max() <= 1.15 + 1e-5
-    assert abs(scale.mean() - 1.075) < 0.01  # uniform on [1, 1.15]
+    scale_y = new_K[:, 1, 1] / K[:, 1, 1]
+    for s in (scale, scale_y):
+        assert s.min() >= 1.0 - 1e-5 and s.max() <= 1.15 + 1e-5
+        assert abs(s.mean() - 1.075) < 0.01  # uniform on [1, 1.15]
+    # anisotropic: x and y draws differ on essentially every sample
+    assert (np.abs(scale - scale_y) > 1e-4).mean() > 0.9
 
-    # flip detection: recover pre-flip cx from the scale/crop params is
-    # nontrivial; instead check the fraction of samples where the top-left
-    # pixel moved to the right half (signature of a flip on cx)
-    # -> use fy/cy (unaffected by flip) to invert the crop and compare
-    fy = new_K[:, 1, 1] / K[:, 1, 1]
-    np.testing.assert_allclose(fy, scale, atol=1e-5)  # isotropic scale
-    oy = K[:, 1, 2] * scale - new_K[:, 1, 2]
-    assert (oy >= -1e-3).all() and (oy <= (scale - 1) * H + 1e-3).all()
+    # use fy/cy (unaffected by flip) to invert the crop and check bounds
+    oy = K[:, 1, 2] * scale_y - new_K[:, 1, 2]
+    assert (oy >= -1e-3).all() and (oy <= (scale_y - 1) * H + 1e-3).all()
 
     # flips: cx either = cx*s - ox (no flip, decreasing-ish) or mirrored;
     # reconstruct both hypotheses and count which fits

@@ -192,6 +192,40 @@ def test_trainer_resume_continues_epochs(dump_root, tmp_path):
     assert int(t2.state.step) == 2 * steps_after_1
 
 
+def test_trainer_resume_preserves_best(dump_root, tmp_path):
+    """The best-metric seed survives a resume: a post-resume epoch that is
+    WORSE than the pre-resume best must not be crowned best (ADVICE r1)."""
+    import json
+
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+    from supervised_dispnet_tpu.utils.checkpoint import latest_checkpoint_step
+
+    kw = dict(
+        data=str(dump_root), save_path=str(tmp_path / "exp_best"),
+        loss="l1", batch_size=2, workers=2, img_height=H, img_width=W,
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    t1 = Trainer(TrainerConfig(epochs=1, **kw), DispResNet(encoder_depth=18),
+                 mesh=mesh)
+    best1 = t1.fit()
+    # fake an unbeatably good recorded best, as if an earlier epoch had it
+    meta_path = tmp_path / "exp_best" / "trainer_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["best"] = 0.0
+    meta_path.write_text(json.dumps(meta))
+    best_step_before = latest_checkpoint_step(tmp_path / "exp_best", best=True)
+
+    t2 = Trainer(TrainerConfig(epochs=2, resume=True, **kw),
+                 DispResNet(encoder_depth=18), mesh=mesh)
+    best2 = t2.fit()
+    assert best2 == 0.0  # seeded from the sidecar, not reset to inf
+    # and the 'best' checkpoint was NOT overwritten by the worse epoch
+    assert latest_checkpoint_step(tmp_path / "exp_best", best=True) == best_step_before
+    assert np.isfinite(best1)
+
+
 def test_batch_loader_propagates_dataset_errors():
     from supervised_dispnet_tpu.data.loader import BatchLoader
 

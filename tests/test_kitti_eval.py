@@ -120,6 +120,24 @@ def test_ate_zero_for_identical():
     assert compute_re(tr, tr.copy()) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_ate_nonzero_matches_reference_formula():
+    """Reference protocol: ATE = ||gt_xyz - s*pred_xyz||_F / N (NOT an RMSE;
+    an RMSE form would be sqrt(N)x larger — ADVICE r1 medium finding)."""
+    rng = np.random.default_rng(7)
+    gt = _traj(n=5, seed=5)
+    pred = gt.copy()
+    pred[:, :, 3] = pred[:, :, 3] + rng.normal(0, 0.3, (5, 3))
+    # hand-evaluate the reference formula on the aligned/scaled trajectories
+    gt_xyz = gt[:, :, 3]
+    pr = pred[:, :, 3] + (gt_xyz[0] - pred[0, :, 3])
+    s = np.sum(gt_xyz * pr) / np.sum(pr**2)
+    expected = np.sqrt(np.sum((gt_xyz - s * pr) ** 2)) / 5.0
+    assert compute_ate(gt, pred) == pytest.approx(expected, rel=1e-9)
+    # and explicitly NOT the sqrt(mean-per-frame) RMSE variant
+    rmse = np.sqrt(np.mean(np.sum((gt_xyz - s * pr) ** 2, axis=1)))
+    assert abs(compute_ate(gt, pred) - rmse) > 1e-6
+
+
 def test_ate_scale_invariant():
     tr = _traj(seed=2)
     scaled = tr.copy()

@@ -198,11 +198,41 @@ class TorchBasicBlock(nn.Module):
         return F.relu(out + identity)
 
 
-class TorchResNet18Encoder(nn.Module):
-    """torchvision-layout ResNet-18 feature extractor (5 feature maps)."""
-
-    def __init__(self):
+class TorchBottleneck(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, expansion=4):
         super().__init__()
+        out_ch = planes * expansion
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, out_ch, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_ch)
+        self.downsample = None
+        if stride != 1 or inplanes != out_ch:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, out_ch, 1, stride, bias=False),
+                nn.BatchNorm2d(out_ch),
+            )
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample else x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + identity)
+
+
+_RESNET_STAGES = {18: (TorchBasicBlock, (2, 2, 2, 2)),
+                  50: (TorchBottleneck, (3, 4, 6, 3))}
+
+
+class TorchResNetEncoder(nn.Module):
+    """torchvision-layout ResNet-18/50 feature extractor (5 feature maps)."""
+
+    def __init__(self, depth=18):
+        super().__init__()
+        block_cls, stage_sizes = _RESNET_STAGES[depth]
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
@@ -210,10 +240,10 @@ class TorchResNet18Encoder(nn.Module):
         inplanes = 64
         for stage, planes in enumerate([64, 128, 256, 512]):
             blocks = []
-            for b in range(2):
+            for b in range(stage_sizes[stage]):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                blocks.append(TorchBasicBlock(inplanes, planes, stride))
-                inplanes = planes
+                blocks.append(block_cls(inplanes, planes, stride))
+                inplanes = planes * (4 if block_cls is TorchBottleneck else 1)
             layers.append(nn.Sequential(*blocks))
         self.layer1, self.layer2, self.layer3, self.layer4 = layers
 
@@ -226,3 +256,169 @@ class TorchResNet18Encoder(nn.Module):
             x = layer(x)
             feats.append(x)
         return feats
+
+
+# backward-compat alias used by older tests
+class TorchResNet18Encoder(TorchResNetEncoder):
+    def __init__(self):
+        super().__init__(depth=18)
+
+
+_DEC_PLANES = (16, 32, 64, 128, 256)
+
+
+class TorchDispResNet(nn.Module):
+    """Reference DispResNet layout: ResNet encoder + upconv/iconv decoder
+    with skip-concat and bilinear upsampling, multi-scale disparity heads or
+    a classification bin-logit head (default converter name map:
+    upconvN.0 / iconvN.0 / predict_dispN.0 / predict_class.0)."""
+
+    def __init__(self, depth=18, head="disp", num_bins=64,
+                 alpha=10.0, beta=0.01):
+        super().__init__()
+        self.head, self.alpha, self.beta = head, alpha, beta
+        self.encoder = TorchResNetEncoder(depth)
+        enc_ch = ([64, 64, 128, 256, 512] if depth == 18
+                  else [64, 256, 512, 1024, 2048])
+        for i in range(4, -1, -1):
+            in_ch = enc_ch[4] if i == 4 else _DEC_PLANES[i + 1]
+            setattr(self, f"upconv{i}",
+                    nn.Sequential(nn.Conv2d(in_ch, _DEC_PLANES[i], 3, padding=1)))
+            cat_ch = _DEC_PLANES[i] + (enc_ch[i - 1] if i > 0 else 0)
+            setattr(self, f"iconv{i}",
+                    nn.Sequential(nn.Conv2d(cat_ch, _DEC_PLANES[i], 3, padding=1)))
+        if head == "classification":
+            self.predict_class = nn.Sequential(
+                nn.Conv2d(_DEC_PLANES[0], num_bins, 3, padding=1))
+        else:
+            for s in range(1, 5):
+                setattr(self, f"predict_disp{s}",
+                        nn.Sequential(nn.Conv2d(_DEC_PLANES[s - 1], 1, 3, padding=1)))
+
+    def forward(self, x):
+        enc = self.encoder(x)
+        feats = {}
+        h = enc[-1]
+        for i in range(4, -1, -1):
+            h = F.elu(getattr(self, f"upconv{i}")(h))
+            if i > 0:
+                skip = enc[i - 1]
+                h = F.interpolate(h, size=skip.shape[2:], mode="bilinear",
+                                  align_corners=False)
+                h = torch.cat([h, skip], 1)
+            else:
+                h = F.interpolate(h, size=x.shape[2:], mode="bilinear",
+                                  align_corners=False)
+            h = F.elu(getattr(self, f"iconv{i}")(h))
+            feats[i] = h
+        if self.head == "classification":
+            return self.predict_class(feats[0])
+        return [self.alpha * torch.sigmoid(
+                    getattr(self, f"predict_disp{s + 1}")(feats[s])) + self.beta
+                for s in range(4)]
+
+
+_VGG16_STAGES = ((64, 64), (128, 128), (256, 256, 256),
+                 (512, 512, 512), (512, 512, 512))
+
+
+class TorchDispVggBN(nn.Module):
+    """VGG16-BN disparity net: torchvision ``features`` numbering under
+    ``encoder.features``, upconv/iconv decoder, 4 disparity heads."""
+
+    def __init__(self, alpha=10.0, beta=0.01):
+        super().__init__()
+        self.alpha, self.beta = alpha, beta
+        feats: list[nn.Module] = []
+        in_ch = 3
+        for widths in _VGG16_STAGES:
+            for w in widths:
+                feats += [nn.Conv2d(in_ch, w, 3, padding=1),
+                          nn.BatchNorm2d(w), nn.ReLU(inplace=True)]
+                in_ch = w
+            feats.append(nn.MaxPool2d(2, 2))
+        self.encoder = nn.Module()
+        self.encoder.features = nn.Sequential(*feats)
+        enc_ch = [64, 128, 256, 512, 512]
+        for k in range(4, -1, -1):
+            in_ch = 512 if k == 4 else _DEC_PLANES[k + 1]
+            setattr(self, f"upconv{k}",
+                    nn.Sequential(nn.Conv2d(in_ch, _DEC_PLANES[k], 3, padding=1)))
+            setattr(self, f"iconv{k}",
+                    nn.Sequential(nn.Conv2d(_DEC_PLANES[k] + enc_ch[k], _DEC_PLANES[k],
+                                            3, padding=1)))
+        for s in range(1, 5):
+            setattr(self, f"predict_disp{s}",
+                    nn.Sequential(nn.Conv2d(_DEC_PLANES[s - 1], 1, 3, padding=1)))
+
+    def forward(self, x):
+        feats = []
+        h = x
+        for layer in self.encoder.features:
+            if isinstance(layer, nn.MaxPool2d):
+                feats.append(h)  # pre-pool, strides 1, 2, 4, 8, 16
+            h = layer(h)
+        outs = []
+        for k in range(4, -1, -1):
+            skip = feats[k]
+            h = F.elu(getattr(self, f"upconv{k}")(h))
+            h = F.interpolate(h, size=skip.shape[2:], mode="bilinear",
+                              align_corners=False)
+            h = torch.cat([h, skip], 1)
+            h = F.elu(getattr(self, f"iconv{k}")(h))
+            outs.append(h)  # after up4, up3 (=d4), up2 (=d3), up1 (=d2), up0 (=d1)
+        d4, d3, d2, d1 = outs[1], outs[2], outs[3], outs[4]
+        return [self.alpha * torch.sigmoid(getattr(self, f"predict_disp{s + 1}")(d))
+                + self.beta for s, d in enumerate((d1, d2, d3, d4))]
+
+
+def _unpool2x(x):
+    """Laina unpooling: zero-stuff so x lands at even coordinates."""
+    B, C, H, W = x.shape
+    out = x.new_zeros(B, C, 2 * H, 2 * W)
+    out[:, :, ::2, ::2] = x
+    return out
+
+
+class TorchUpProj(nn.Module):
+    """Laina up-projection: unpool -> two conv branches, residual ReLU."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 5, padding=2)
+        self.bn1 = nn.BatchNorm2d(out_ch)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.bn2 = nn.BatchNorm2d(out_ch)
+        self.conv3 = nn.Conv2d(in_ch, out_ch, 5, padding=2)
+        self.bn3 = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        h = _unpool2x(x)
+        a = self.bn2(self.conv2(F.relu(self.bn1(self.conv1(h)))))
+        b = self.bn3(self.conv3(h))
+        return F.relu(a + b)
+
+
+class TorchFCRN(nn.Module):
+    """Laina FCRN: ResNet-50 encoder, 1x1 bottleneck reduction, 4
+    up-projections, direct metric-depth head."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchResNetEncoder(50)
+        self.conv2 = nn.Conv2d(2048, 1024, 1)
+        self.bn2 = nn.BatchNorm2d(1024)
+        ch = 1024
+        for n in range(1, 5):
+            setattr(self, f"up{n}", TorchUpProj(ch, ch // 2))
+            ch //= 2
+        self.conv3 = nn.Conv2d(ch, 1, 3, padding=1)
+
+    def forward(self, x):
+        h = self.encoder(x)[-1]
+        h = self.bn2(self.conv2(h))
+        for n in range(1, 5):
+            h = getattr(self, f"up{n}")(h)
+        h = F.relu(self.conv3(h))
+        return F.interpolate(h, size=x.shape[2:], mode="bilinear",
+                             align_corners=False)
