@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--network", default="disp_res_50")
     ap.add_argument("--loss", default="berhu")
+    ap.add_argument("--half-res-photo", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -72,12 +73,13 @@ def main() -> None:
         model = get_disp_net("dispnet")
         if hasattr(model, "dtype"):
             model = model.clone(dtype=jnp.bfloat16)
-        pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+        pose = PoseExpNet(nb_ref_imgs=2, output_exp=True, dtype=jnp.bfloat16)
         state = create_train_state(
             model, (tgt0,), optax.adam(1e-4),
             extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
         )
-        step = make_selfsup_train_step(model, pose, nb_ref_imgs=2, donate=False)
+        step = make_selfsup_train_step(model, pose, nb_ref_imgs=2, donate=False,
+                                       half_res_photo=args.half_res_photo)
         batch = {
             "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
             "ref_imgs": jnp.asarray(

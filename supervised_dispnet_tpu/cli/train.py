@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--img-height", type=int, default=128)
     p.add_argument("--img-width", type=int, default=416)
+    p.add_argument("--half-res-photo", action="store_true",
+                   help="compute the photometric loss one octave down "
+                        "(~4x cheaper warp gathers; deviates from the "
+                        "reference loss)")
     p.add_argument("--use-pallas-warp", action="store_true",
                    help="use the Pallas MXU-gather sampler in the "
                         "photometric loss (self-supervised)")
@@ -132,6 +136,7 @@ def main(argv: list[str] | None = None) -> None:
         img_height=args.img_height,
         img_width=args.img_width,
         use_pallas_warp=args.use_pallas_warp,
+        half_res_photo=args.half_res_photo,
         use_pallas_losses=args.use_pallas_losses,
         debug_nans=args.debug_nans,
         loader=args.loader,

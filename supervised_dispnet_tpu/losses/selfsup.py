@@ -37,6 +37,7 @@ def photometric_reconstruction_loss(
     rotation_mode: str = "euler",
     padding_mode: str = "zeros",
     use_pallas_warp: bool = False,
+    half_res: bool = False,
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Multi-scale photometric L1 between target and inverse-warped refs.
 
@@ -48,6 +49,10 @@ def photometric_reconstruction_loss(
       explainability_masks: per-scale (B, h, w, num_refs) sigmoid masks or
         None.
       pose: (B, num_refs, 6) target->ref pose vectors.
+      half_res: compute the whole photometric pyramid one octave down
+        (images, depths, and masks 2x-downsampled before the loop). TPU
+        warp gathers are index-count-bound, so this cuts warp cost ~4x; it
+        is a documented DEVIATION from the reference loss (off by default).
 
     Returns:
       (loss, warped_results): scalar loss and the finest-scale warped images
@@ -58,11 +63,24 @@ def photometric_reconstruction_loss(
     warped_log: list[jax.Array] = []
     tgt_s = tgt_img
     refs_s = list(ref_imgs)
+    scale0 = 1.0
+    if half_res:
+        tgt_s = downsample2x_avg(tgt_s)
+        refs_s = [downsample2x_avg(r) for r in refs_s]
+        depths = [
+            d.reshape(d.shape[0], d.shape[1] // 2, 2, d.shape[2] // 2, 2)
+            .mean(axis=(2, 4))
+            for d in depths
+        ]
+        if explainability_masks is not None:
+            explainability_masks = [downsample2x_avg(m)
+                                    for m in explainability_masks]
+        scale0 = 0.5
     for s, depth in enumerate(depths):
         if s > 0:
             tgt_s = downsample2x_avg(tgt_s)
             refs_s = [downsample2x_avg(r) for r in refs_s]
-        K_s = _scale_intrinsics(intrinsics, 1.0 / (2**s))
+        K_s = _scale_intrinsics(intrinsics, scale0 / (2**s))
         for r, ref in enumerate(refs_s):
             warped, valid = inverse_warp(
                 ref, depth, pose[:, r], K_s,

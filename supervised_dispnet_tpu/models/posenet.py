@@ -34,6 +34,7 @@ class PoseExpNet(nn.Module):
 
     nb_ref_imgs: int = 2
     output_exp: bool = True
+    dtype: object = None  # compute dtype (bf16 for MXU speed); params fp32
 
     @nn.compact
     def __call__(self, tgt: jax.Array, refs: list[jax.Array]):
@@ -43,12 +44,14 @@ class PoseExpNet(nn.Module):
         feats = []
         h = x
         for n, (planes, k) in enumerate(zip(ENC_PLANES, ENC_KERNELS)):
-            h = ConvELU(planes, k, stride=2, name=f"conv{n + 1}")(h)
+            h = ConvELU(planes, k, stride=2, dtype=self.dtype,
+                        name=f"conv{n + 1}")(h)
             feats.append(h)
         c1, c2, c3, c4, c5, c6, c7 = feats
 
+        # pose head computes fp32 (6-DoF feeds the geometry stack)
         pose = nn.Conv(6 * self.nb_ref_imgs, (1, 1), kernel_init=xavier_uniform,
-                       name="pose_pred")(c7)
+                       dtype=jnp.float32, name="pose_pred")(c7.astype(jnp.float32))
         pose = pose.mean(axis=(1, 2)) * POSE_SCALE
         pose = pose.reshape(pose.shape[0], self.nb_ref_imgs, 6)
 
@@ -56,18 +59,21 @@ class PoseExpNet(nn.Module):
             return None, pose
 
         def mask_head(feat, n):
+            # mask head in fp32: sigmoid output multiplies the photometric
+            # residuals directly
             logits = nn.Conv(self.nb_ref_imgs, (3, 3), padding=1,
-                             kernel_init=xavier_uniform, name=f"predict_mask{n}")(feat)
+                             kernel_init=xavier_uniform, dtype=jnp.float32,
+                             name=f"predict_mask{n}")(feat.astype(jnp.float32))
             return nn.sigmoid(logits)
 
-        u5 = crop_like(UpConvELU(DEC_PLANES[0], name="upconv5")(c5), c4)
-        u4 = crop_like(UpConvELU(DEC_PLANES[1], name="upconv4")(u5), c3)
+        u5 = crop_like(UpConvELU(DEC_PLANES[0], dtype=self.dtype, name="upconv5")(c5), c4)
+        u4 = crop_like(UpConvELU(DEC_PLANES[1], dtype=self.dtype, name="upconv4")(u5), c3)
         exp4 = mask_head(u4, 4)  # 1/8
-        u3 = crop_like(UpConvELU(DEC_PLANES[2], name="upconv3")(u4), c2)
+        u3 = crop_like(UpConvELU(DEC_PLANES[2], dtype=self.dtype, name="upconv3")(u4), c2)
         exp3 = mask_head(u3, 3)  # 1/4
-        u2 = crop_like(UpConvELU(DEC_PLANES[3], name="upconv2")(u3), c1)
+        u2 = crop_like(UpConvELU(DEC_PLANES[3], dtype=self.dtype, name="upconv2")(u3), c1)
         exp2 = mask_head(u2, 2)  # 1/2
-        u1 = crop_like(UpConvELU(DEC_PLANES[4], name="upconv1")(u2), tgt)
+        u1 = crop_like(UpConvELU(DEC_PLANES[4], dtype=self.dtype, name="upconv1")(u2), tgt)
         exp1 = mask_head(u1, 1)  # full
 
         return [exp1, exp2, exp3, exp4], pose

@@ -215,9 +215,12 @@ def make_selfsup_train_step(
     mesh=None,
     donate: bool = True,
     use_pallas_warp: bool = False,
+    half_res_photo: bool = False,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
-    photometric path with -p/-m/-s weights).
+    photometric path with -p/-m/-s weights). ``half_res_photo`` computes
+    the photometric pyramid one octave down (~4x cheaper warp gathers,
+    documented deviation).
 
     batch: {'tgt': (B, H, W, 3), 'ref_imgs': (B, R, H, W, 3),
             'intrinsics': (B, 3, 3)}.
@@ -248,7 +251,7 @@ def make_selfsup_train_step(
             photo, _ = photometric_reconstruction_loss(
                 tgt, refs, K, depths, exp_masks, pose,
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
-                use_pallas_warp=use_pallas_warp,
+                use_pallas_warp=use_pallas_warp, half_res=half_res_photo,
             )
             exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
             smooth = smooth_loss(disps)

@@ -68,6 +68,8 @@ class TrainerConfig:
     img_width: int = 416
     with_exp_mask: bool = True
     use_pallas_warp: bool = False  # MXU-gather Pallas sampler in photometric
+    half_res_photo: bool = False  # photometric loss one octave down (~4x
+    #   cheaper warp gathers; deviation from the reference loss)
     use_pallas_losses: bool = False  # fused Pallas loss reduction kernels
     debug_nans: bool = False  # jax nan-checker (SURVEY aux: sanitizers)
     training_output_freq: int = 0  # tensorboard disp images every N iters
@@ -138,6 +140,7 @@ class Trainer:
                 padding_mode=cfg.padding_mode,
                 aug=self.aug, mesh=self.mesh,
                 use_pallas_warp=cfg.use_pallas_warp,
+                half_res_photo=cfg.half_res_photo,
             )
         else:
             self.train_step = make_supervised_train_step(

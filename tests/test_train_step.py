@@ -286,3 +286,30 @@ def test_eval_step_data_parallel_8dev():
     m2 = ev_single(state.params, state.batch_stats, batch)
     for k in m2:
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4)
+
+
+def test_selfsup_step_half_res_photo():
+    """half_res_photo computes the photometric pyramid one octave down:
+    step runs, losses finite, and the photometric term differs from (but
+    tracks) the full-res one."""
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt0,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+    )
+    batch = _selfsup_batch(B=4, seed=21)
+    kw = dict(nb_ref_imgs=2, aug=NO_AUG, donate=False)
+    step_full = make_selfsup_train_step(disp, pose, **kw)
+    step_half = make_selfsup_train_step(disp, pose, half_res_photo=True, **kw)
+    _, m_full = step_full(state, batch)
+    s, m_half = step_half(state, batch)
+    assert np.isfinite(float(m_half["loss"]))
+    # same images/depths, area-downsampled: photometric magnitude comparable
+    assert 0.3 < float(m_half["photo_loss"]) / float(m_full["photo_loss"]) < 3.0
+    losses = [float(m_half["loss"])]
+    for _ in range(3):
+        s, m = step_half(s, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
