@@ -11,10 +11,16 @@ be deduplicated, yielding impossible >1 PFLOP/s readings with naive
 block_until_ready timing).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R,
+   "mfu": ..., "model_tflops_per_sec": ..., ...}
 
-vs_baseline is measured against the single-GPU reference anchor recorded in
-BASELINE.md (no published reference throughput exists; see BASELINE.md).
+vs_baseline is measured against the MEASURED reference anchor: the torch
+fixture of the reference's best model (DispResNet-50) under the installed
+torch CPU build on this machine (benchmarks/torch_anchor.py; the reference
+never published a throughput number and no GPU exists here — see
+BASELINE.md for the recorded measurement and the GPU extrapolation
+discussion). mfu is the absolute utilization: analytic model FLOPs from
+XLA's cost analysis divided by measured time and the chip's bf16 peak.
 """
 
 from __future__ import annotations
@@ -22,10 +28,21 @@ from __future__ import annotations
 import json
 import time
 
-# Reference anchor: single-GPU (1080Ti-class) PyTorch DispResNet-50
-# inference at 128x416 — see BASELINE.md for provenance (estimate; no
-# published number exists, BASELINE.json "published": {}).
-BASELINE_IMAGES_PER_SEC = 150.0
+# Measured anchor (benchmarks/torch_anchor.py, 2026-08-16): the reference
+# architecture under torch 2.13 CPU on this machine's 1 vCPU. Our flax
+# model on the same CPU measured 5.48 img/s (1.05x) — same-hardware
+# framework parity; the TPU ratio below is therefore hardware + framework.
+BASELINE_TORCH_CPU_IMAGES_PER_SEC = 5.23
+
+# bf16 peak matmul throughput per chip, by device kind
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
 BATCH = 256  # batch sweep on v5e: 256 > 64 by ~26% images/sec
 H, W = 128, 416
@@ -54,6 +71,13 @@ def main() -> None:
         # s (previous iteration's scalar) feeds the input: serial chain
         return jnp.sum(model.apply(variables, x + s * 1e-30, train=False)[0])
 
+    # analytic FLOPs of one forward from XLA's cost model (per BATCH images)
+    try:
+        cost = jax.jit(forward).lower(variables, x, jnp.float32(0.0)).compile()
+        flops_per_call = float(cost.cost_analysis()["flops"])
+    except Exception:
+        flops_per_call = float("nan")
+
     s = jnp.float32(0.0)
     for _ in range(WARMUP):
         s = forward(variables, x, s)
@@ -70,12 +94,24 @@ def main() -> None:
     n_chips = max(1, jax.device_count())
     images_per_sec = BATCH * ITERS / dt / n_chips
 
-    print(json.dumps({
+    result = {
         "metric": "kitti_inference_images_per_sec_per_chip",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(images_per_sec / BASELINE_TORCH_CPU_IMAGES_PER_SEC, 1),
+        "baseline_anchor": "torch-cpu measured 5.23 img/s (reference arch, "
+                           "torch 2.13, 1 vCPU; benchmarks/torch_anchor.py)",
+    }
+    if flops_per_call == flops_per_call:  # not NaN
+        tflops_per_sec = flops_per_call * ITERS / dt / n_chips / 1e12
+        result["model_tflops_per_sec"] = round(tflops_per_sec, 1)
+        result["model_gflops_per_image"] = round(flops_per_call / BATCH / 1e9, 2)
+        kind = jax.devices()[0].device_kind
+        peak = PEAK_BF16_FLOPS.get(kind)
+        if peak:
+            result["mfu"] = round(tflops_per_sec * 1e12 / peak, 4)
+            result["device_kind"] = kind
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
