@@ -40,6 +40,8 @@ def main() -> None:
                     choices=["l1", "berhu", "scale_invariant", "classification"])
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 trunk compute (fp32 params/heads)")
+    ap.add_argument("--multiscale-classification", action="store_true",
+                    help="supervise bin logits at all 4 decoder scales")
     args = ap.parse_args()
 
     import jax
@@ -62,8 +64,9 @@ def main() -> None:
     H, W, B = 128, 416, args.batch
     rng = np.random.default_rng(0)
     classification = args.loss == "classification"
-    model = get_disp_net(args.network,
-                         head="classification" if classification else "disp")
+    model = get_disp_net(
+        args.network, head="classification" if classification else "disp",
+        multiscale_classification=args.multiscale_classification)
     if args.bf16 and hasattr(model, "dtype"):
         model = model.clone(dtype=jnp.bfloat16)
     state = create_train_state(
@@ -105,6 +108,7 @@ def main() -> None:
     final = val_abs_rel(state)
     print(json.dumps({
         "metric": "synthetic_convergence_abs_rel",
+        "multiscale_classification": args.multiscale_classification,
         "initial": round(initial, 4),
         "final": round(final, 4),
         "steps": args.steps,

@@ -103,6 +103,8 @@ def main(argv: list[str] | None = None) -> None:
     def forward(x):
         out = apply_model(model, variables, x)
         if args.classification:
+            if isinstance(out, (list, tuple)):
+                out = out[0]  # finest-scale logits
             return logits_to_depth(out, bins)
         if isinstance(out, (list, tuple)):
             return 1.0 / out[0][..., 0]

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mask-loss-weight", type=float, default=0.2)
     p.add_argument("-s", "--smooth-loss-weight", type=float, default=0.1)
     p.add_argument("--num-bins", type=int, default=64)
+    p.add_argument("--multiscale-classification", action="store_true",
+                   help="supervise bin logits at all 4 decoder scales "
+                        "(classification head)")
     p.add_argument("--max-depth", type=float, default=80.0)
     p.add_argument("--imagenet-normalization", action="store_true")
     p.add_argument("--hue", type=float, default=0.0,
@@ -145,7 +148,9 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     head = "classification" if args.loss == "classification" else "disp"
-    disp_model = get_disp_net(args.network, head=head, num_bins=args.num_bins)
+    disp_model = get_disp_net(
+        args.network, head=head, num_bins=args.num_bins,
+        multiscale_classification=args.multiscale_classification)
     pose_model = None
     if args.loss == "selfsup":
         pose_model = PoseExpNet(nb_ref_imgs=args.sequence_length - 1,

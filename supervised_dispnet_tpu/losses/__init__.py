@@ -10,6 +10,7 @@ from supervised_dispnet_tpu.losses.classification import (
     DepthBins,
     depth_classification_loss,
     logits_to_depth,
+    multiscale_classification_loss,
 )
 from supervised_dispnet_tpu.losses.selfsup import (
     photometric_reconstruction_loss,
@@ -26,6 +27,7 @@ __all__ = [
     "DepthBins",
     "depth_classification_loss",
     "logits_to_depth",
+    "multiscale_classification_loss",
     "photometric_reconstruction_loss",
     "explainability_loss",
     "smooth_loss",

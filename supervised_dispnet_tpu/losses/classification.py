@@ -89,6 +89,31 @@ def depth_classification_loss(
     return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+def multiscale_classification_loss(
+    logits_list: list[jax.Array],
+    gt_depth: jax.Array,
+    mask: jax.Array,
+    bins: DepthBins,
+    ce_fn=None,
+    weights: tuple[float, ...] = (1.0, 0.5, 0.25, 0.125),
+) -> jax.Array:
+    """Per-scale bin-logit supervision (reference: the classification-head
+    variant trains per-scale logits — SURVEY §2.2 DispResNet row). Each
+    scale's logits are bilinearly upsampled to GT resolution before the
+    masked CE (the sparse GT cannot be downsampled), mirroring
+    ``multiscale_supervised_loss`` for the disp heads."""
+    from supervised_dispnet_tpu.ops.resize import resize_bilinear
+
+    if ce_fn is None:
+        ce_fn = depth_classification_loss
+    H, W = gt_depth.shape[1], gt_depth.shape[2]
+    total = jnp.float32(0.0)
+    for logits, w in zip(logits_list, weights):
+        total = total + w * ce_fn(resize_bilinear(logits, H, W), gt_depth,
+                                  mask, bins)
+    return total
+
+
 def logits_to_depth(logits: jax.Array, bins: DepthBins) -> jax.Array:
     """Soft-weighted-sum decode: depth = sum_i p_i * center_i.
 

@@ -25,14 +25,16 @@ _REGISTRY = {
 }
 
 
-def get_disp_net(name: str, head: str = "disp", num_bins: int = 64) -> nn.Module:
+def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
+                 multiscale_classification: bool = False) -> nn.Module:
     """Build a disparity/depth network by its ``--network`` name."""
     key = name.lower()
     if key not in _REGISTRY:
         raise ValueError(f"unknown network {name!r}; choices: {sorted(_REGISTRY)}")
     kw: dict[str, Any] = {}
     if key.startswith("disp_res"):
-        kw = {"head": head, "num_bins": num_bins}
+        kw = {"head": head, "num_bins": num_bins,
+              "multiscale_classification": multiscale_classification}
     elif head != "disp":
         raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
     return _REGISTRY[key](**kw)

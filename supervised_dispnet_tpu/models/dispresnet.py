@@ -44,6 +44,9 @@ class DispResNet(nn.Module):
     encoder_depth: int = 18
     head: str = "disp"  # 'disp' | 'classification'
     num_bins: int = 64
+    multiscale_classification: bool = False  # bin logits at all 4 decoder
+    #   scales (like the disp heads; reference classification variant
+    #   supervises per-scale — SURVEY §2.2)
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params fp32
     remat: bool = False  # checkpoint encoder blocks (memory for FLOPs)
     fold_bn: bool = False  # serving: BN absorbed into conv weights
@@ -71,11 +74,18 @@ class DispResNet(nn.Module):
             outputs_feats[i] = h
 
         if self.head == "classification":
-            logits = nn.Conv(
-                self.num_bins, (3, 3), padding=1,
-                kernel_init=xavier_uniform, dtype=jnp.float32, name="bin_head",
-            )(outputs_feats[0].astype(jnp.float32))
-            return logits
+            def bin_head(s: int) -> jax.Array:
+                # s=0 keeps the name 'bin_head' so single-scale checkpoints
+                # and converters stay compatible
+                name = "bin_head" if s == 0 else f"bin_head{s}"
+                return nn.Conv(
+                    self.num_bins, (3, 3), padding=1,
+                    kernel_init=xavier_uniform, dtype=jnp.float32, name=name,
+                )(outputs_feats[s].astype(jnp.float32))
+
+            if self.multiscale_classification:
+                return [bin_head(s) for s in range(4)]
+            return bin_head(0)
 
         disps = []
         for s in range(4):  # scales 1/1, 1/2, 1/4, 1/8

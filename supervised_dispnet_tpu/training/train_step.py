@@ -172,7 +172,15 @@ def make_supervised_train_step(
                 model, params["disp"], state.batch_stats["disp"], x, train=True
             )
             if classification:
-                loss = ce_fn(out, depth_gt, mask, bins)
+                if isinstance(out, (list, tuple)):  # multi-scale bin logits
+                    from supervised_dispnet_tpu.losses import (
+                        multiscale_classification_loss,
+                    )
+
+                    loss = multiscale_classification_loss(
+                        out, depth_gt, mask, bins, ce_fn=ce_fn)
+                else:
+                    loss = ce_fn(out, depth_gt, mask, bins)
             else:
                 depths = disps_to_depths(out)
                 fn = sup_losses[loss_name]
@@ -349,6 +357,8 @@ def make_eval_step(
     def step(params, batch_stats, batch):
         out, _ = _apply(model, params["disp"], batch_stats["disp"], batch["img"], train=False)
         if classification:
+            if isinstance(out, (list, tuple)):
+                out = out[0]  # finest-scale logits
             depth = logits_to_depth(out, bins)
         elif isinstance(out, (list, tuple)):
             depth = 1.0 / out[0][..., 0]

@@ -171,6 +171,8 @@ class Trainer:
                             img, train=False)
             if self.classification:
                 from supervised_dispnet_tpu.losses import logits_to_depth
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
                 depth = logits_to_depth(out, self.bins)
                 return 1.0 / jnp.maximum(depth, 1e-3)
             if isinstance(out, (list, tuple)):

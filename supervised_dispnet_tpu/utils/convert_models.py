@@ -63,6 +63,7 @@ class DispResNetNameMap:
     iconv: str = "iconv{i}.0"          # our upconv{i}_1 (post-concat conv)
     predict_disp: str = "predict_disp{s}.0"  # our disp_head{s-1} (1 = finest)
     bin_head: str = "predict_class.0"  # classification-head variant
+    bin_head_scale: str = "predict_class{s}.0"  # multi-scale variant, s >= 2
 
 
 def convert_dispresnet(
@@ -70,6 +71,7 @@ def convert_dispresnet(
     depth: int = 18,
     head: str = "disp",
     names: DispResNetNameMap = DispResNetNameMap(),
+    multiscale_classification: bool = False,
 ) -> tuple[dict, dict]:
     """Reference DispResNet state_dict -> (params, batch_stats) for
     ``models/dispresnet.py::DispResNet`` (reference: ``models/DispResNet.py``)."""
@@ -81,6 +83,10 @@ def convert_dispresnet(
         params[f"upconv{i}_1"] = {"Conv_0": _conv(sd, names.iconv.format(i=i))}
     if head == "classification":
         params["bin_head"] = _conv(sd, names.bin_head)
+        if multiscale_classification:
+            for s in range(1, 4):
+                params[f"bin_head{s}"] = _conv(
+                    sd, names.bin_head_scale.format(s=s + 1))
     else:
         for s in range(4):
             params[f"disp_head{s}"] = {

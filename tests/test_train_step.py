@@ -313,3 +313,33 @@ def test_selfsup_step_half_res_photo():
         s, m = step_half(s, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_multiscale_classification_step():
+    """Multi-scale bin-logit supervision: 4 logit scales, loss decreases,
+    finest-scale eval decode still works."""
+    bins = DepthBins(num_bins=16)
+    model = DispResNet(encoder_depth=18, head="classification", num_bins=16,
+                       multiscale_classification=True)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    # 4 heads exist in the param tree
+    heads = [k for k in state.params["disp"] if k.startswith("bin_head")]
+    assert sorted(heads) == ["bin_head", "bin_head1", "bin_head2", "bin_head3"]
+
+    step = make_supervised_train_step(
+        model, "classification", bins=bins, aug=NO_AUG, donate=False
+    )
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(seed=31).items()}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    ev = make_eval_step(model, classification=True, bins=bins)
+    out = ev(state.params, state.batch_stats,
+             {"img": batch["tgt"], "depth": batch["depth"]})
+    assert np.isfinite(float(out["abs_rel"]))
