@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> None:
             return 1.0 / out[0][..., 0]
         return out[..., 0]
 
+    from supervised_dispnet_tpu.data.filelist_validation import validate_eigen_list
+
+    fmt_errors = validate_eigen_list(args.dataset_list, expect_count=False)
+    if fmt_errors:
+        # warn only: custom lists (non-KITTI layouts) are allowed
+        print(f"WARNING: {args.dataset_list} does not look like a canonical "
+              f"Eigen list ({fmt_errors[0]})")
     test_files = [l for l in open(args.dataset_list)]
     framework = KittiEigenFramework(
         args.dataset_dir, test_files, args.min_depth, args.max_depth

@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("dataset_dir", type=Path)
     parser.add_argument("--dataset-format", default="kitti",
-                        choices=["kitti", "cityscapes"])
+                        choices=["kitti", "odometry", "cityscapes"])
     parser.add_argument("--dump-root", type=Path, required=True)
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=416)
@@ -58,6 +58,14 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--num-threads", type=int, default=4)
     parser.add_argument("--val-frac", type=float, default=0.1)
     args = parser.parse_args(argv)
+
+    # fail fast on malformed canonical lists (see data/filelists/README.md)
+    from supervised_dispnet_tpu.data.filelist_validation import require_valid
+
+    if args.static_frames:
+        require_valid("static_frames", args.static_frames)
+    if args.test_scenes:
+        require_valid("test_scenes", args.test_scenes)
 
     if args.dataset_format == "kitti":
         from supervised_dispnet_tpu.data.kitti_raw_loader import KittiRawLoader
@@ -73,6 +81,21 @@ def main(argv: list[str] | None = None) -> None:
         )
         scenes = [
             s for drive in loader.scenes for s in loader.collect_scene_data(drive)
+        ]
+    elif args.dataset_format == "odometry":
+        from supervised_dispnet_tpu.data.kitti_odometry_loader import (
+            KittiOdometryLoader,
+        )
+
+        loader = KittiOdometryLoader(
+            args.dataset_dir,
+            img_height=args.height,
+            img_width=args.width,
+            get_depth=args.with_depth,
+            get_pose=args.with_pose,
+        )
+        scenes = [
+            s for seq in loader.scenes for s in loader.collect_scene_data(seq)
         ]
     else:
         from supervised_dispnet_tpu.data.cityscapes_loader import CityscapesLoader
