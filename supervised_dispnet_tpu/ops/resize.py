@@ -11,13 +11,46 @@ import jax
 import jax.numpy as jnp
 
 
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """Exact 2x bilinear upsample (half-pixel centers), written as the
+    2-tap stencil it is: out[2i] = 0.25 in[i-1] + 0.75 in[i],
+    out[2i+1] = 0.75 in[i] + 0.25 in[i+1] (edges clamped).
+
+    NEGATIVE RESULT (kept for the record, not wired in): profiling showed
+    the decoder's jax.image.resize calls at 4.6 ms of a 37.8 ms forward, so
+    this stencil form was tried — and LOST at the model level (bench 6545
+    -> 5311 img/s). XLA fuses the resize's implicit conv into the adjacent
+    decoder convs, while the stack+reshape interleave here materializes a
+    badly-tiled intermediate it cannot fuse. Matches
+    jax.image.resize(..., 'bilinear') to fp rounding (tested); see
+    BASELINE.md round-2 table.
+    """
+    def axis_up(v, axis):
+        prev = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)], axis)
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)],
+            axis)
+        even = 0.25 * prev + 0.75 * v
+        odd = 0.75 * v + 0.25 * nxt
+        inter = jnp.stack([even, odd], axis=axis + 1)
+        shape = list(v.shape)
+        shape[axis] *= 2
+        return inter.reshape(shape)
+
+    return axis_up(axis_up(x, 1), 2)
+
+
 def resize_bilinear(x: jax.Array, h: int, w: int, align_corners: bool = False) -> jax.Array:
     """Bilinear resize of (B, H, W, C) to (B, h, w, C).
 
     ``align_corners=False`` matches torch ``F.interpolate(mode='bilinear')``
     defaults (half-pixel centers). jax.image.resize implements exactly the
-    half-pixel convention, so use it on that path; the align_corners=True
-    path is built on our sampler.
+    half-pixel convention (and fuses into adjacent convs — see the
+    ``upsample2x_bilinear`` negative result); the align_corners=True path
+    is built on our sampler.
     """
     B, H, W, C = x.shape
     if (H, W) == (h, w):

@@ -87,3 +87,21 @@ def test_grid_sample_gradients_flow():
     g = jax.grad(loss_fn)(grid)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_upsample2x_bilinear_parity():
+    """The (unwired, negative-result) stencil upsample matches
+    jax.image.resize and torch F.interpolate exactly."""
+    import jax
+
+    from supervised_dispnet_tpu.ops.resize import upsample2x_bilinear
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+    ours = np.asarray(upsample2x_bilinear(jnp.asarray(x)))
+    ref = np.asarray(jax.image.resize(jnp.asarray(x), (2, 14, 18, 3), "bilinear"))
+    tref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         scale_factor=2, mode="bilinear",
+                         align_corners=False).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    np.testing.assert_allclose(ours, tref, atol=1e-6)
