@@ -79,7 +79,6 @@ def main(argv: list[str] | None = None) -> None:
     )
     from supervised_dispnet_tpu.losses.classification import DepthBins, logits_to_depth
     from supervised_dispnet_tpu.models import get_disp_net
-    from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
     head = "classification" if args.classification else "disp"
     model = get_disp_net(args.network, head=head, num_bins=args.num_bins)
@@ -123,37 +122,63 @@ def main(argv: list[str] | None = None) -> None:
     )
     import cv2
 
+    # Double-buffered eval pipeline: a host thread decodes the NEXT batch
+    # while the device runs the current one, and device->host readback lags
+    # one batch behind dispatch (jax async dispatch overlaps the transfer
+    # with the next forward). Prediction upsampling to GT resolution happens
+    # on the HOST with cv2 — GT sizes vary per image and a per-image device
+    # resize would cost one ~23 ms tunnel round trip each.
+    import queue
+    import threading
+
     gt_list, pred_list = [], []
-    batch_imgs, batch_gt = [], []
 
-    def flush():
-        if not batch_imgs:
-            return
-        x = jnp.asarray(np.stack(batch_imgs))
-        x = normalize_images(x, mean, std)
-        depth = np.asarray(forward(x))
-        for d, gt in zip(depth, batch_gt):
-            d_up = np.asarray(
-                resize_bilinear(jnp.asarray(d)[None, :, :, None],
-                                gt.shape[0], gt.shape[1])
-            )[0, :, :, 0]
-            pred_list.append(d_up)
+    def produce(q):
+        batch_imgs, batch_gt = [], []
+        try:
+            for i, sample in enumerate(framework):
+                img = sample["img"].astype(np.float32) / 255.0
+                if not args.no_resize:
+                    img = cv2.resize(img, (args.img_width, args.img_height),
+                                     interpolation=cv2.INTER_AREA)
+                batch_imgs.append(img)
+                batch_gt.append(sample["gt_depth"])
+                if len(batch_imgs) == args.batch_size:
+                    q.put((np.stack(batch_imgs), batch_gt))
+                    batch_imgs, batch_gt = [], []
+                if i % 50 == 0:
+                    print(f"  {i}/{len(framework)}", flush=True)
+            if batch_imgs:
+                q.put((np.stack(batch_imgs), batch_gt))
+            q.put(None)
+        except BaseException as e:  # surface decode errors in the main thread
+            q.put(e)
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    threading.Thread(target=produce, args=(q,), daemon=True).start()
+
+    def drain(depth_dev, gts):
+        depth = np.asarray(depth_dev)  # readback (lagged one batch)
+        for d, gt in zip(depth, gts):
+            pred_list.append(cv2.resize(d, (gt.shape[1], gt.shape[0]),
+                                        interpolation=cv2.INTER_LINEAR))
             gt_list.append(gt)
-        batch_imgs.clear()
-        batch_gt.clear()
 
-    for i, sample in enumerate(framework):
-        img = sample["img"].astype(np.float32) / 255.0
-        if not args.no_resize:
-            img = cv2.resize(img, (args.img_width, args.img_height),
-                             interpolation=cv2.INTER_AREA)
-        batch_imgs.append(img)
-        batch_gt.append(sample["gt_depth"])
-        if len(batch_imgs) == args.batch_size:
-            flush()
-        if i % 50 == 0:
-            print(f"  {i}/{len(framework)}", flush=True)
-    flush()
+    in_flight = None
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        if item is None:
+            break
+        imgs_np, gts = item
+        x = normalize_images(jnp.asarray(imgs_np), mean, std)
+        depth_dev = forward(x)  # async dispatch — do not block here
+        if in_flight is not None:
+            drain(*in_flight)
+        in_flight = (depth_dev, gts)
+    if in_flight is not None:
+        drain(*in_flight)
 
     cfg = EvalConfig(min_depth=args.min_depth, max_depth=args.max_depth,
                      median_scaling=args.median_scaling)
