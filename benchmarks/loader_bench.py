@@ -61,10 +61,31 @@ def main() -> None:
             results[f"workers_{workers}"] = round(n / dt, 1)
             print(f"workers={workers}: {n / dt:.0f} decoded-images/sec", flush=True)
 
+        # packed zero-decode pipeline on the same frames (data/packed.py)
+        from supervised_dispnet_tpu.data.packed import (
+            PackedSequenceDataset, pack_split,
+        )
+
+        t0 = time.perf_counter()
+        pack_split(root, root / "_packed", "train")
+        print(f"pack time: {time.perf_counter() - t0:.1f}s (one-off)", flush=True)
+        pds = PackedSequenceDataset(root / "_packed", train=True,
+                                    sequence_length=3)
+        for run in range(2):  # run 2 = page-cache warm
+            loader = BatchLoader(pds, args.batch, shuffle=True, prefetch=4)
+            n = 0
+            t0 = time.perf_counter()
+            for batch in loader:
+                n += batch["tgt"].shape[0] * 3
+            dt = time.perf_counter() - t0
+            results[f"packed_run{run}"] = round(n / dt, 1)
+            print(f"packed run {run}: {n / dt:.0f} images/sec", flush=True)
+
         print(json.dumps({
             "metric": "host_loader_decoded_images_per_sec",
             "value": results,
-            "unit": "images/sec (decode+collate, 128x416 jpg)",
+            "unit": "images/sec (decode+collate, 128x416 jpg; packed = "
+                    "zero-decode memmap gather)",
         }))
 
 

@@ -38,6 +38,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="limit batches per epoch (0 = full)")
     p.add_argument("-b", "--batch-size", type=int, default=4)
     p.add_argument("--lr", "--learning-rate", type=float, default=2e-4)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "step", "cosine"],
+                   help="learning-rate schedule (extension; the reference "
+                        "trained at a fixed lr)")
+    p.add_argument("--lr-warmup-steps", type=int, default=0,
+                   help="linear 0->lr warmup, in optimizer steps")
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="step: staircase period; cosine: total decay span "
+                        "(optimizer steps)")
+    p.add_argument("--lr-decay-rate", type=float, default=0.5,
+                   help="decay factor per period for --lr-schedule step")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help=">0 keeps an EMA shadow of the params and validates "
+                        "with it (e.g. 0.999)")
     p.add_argument("--momentum", type=float, default=0.9,
                    help="adam beta1 (reference flag name)")
     p.add_argument("--beta", type=float, default=0.999,
@@ -121,6 +135,11 @@ def main(argv: list[str] | None = None) -> None:
         epoch_size=args.epoch_size,
         batch_size=args.batch_size,
         lr=args.lr,
+        lr_schedule=args.lr_schedule,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_decay_steps=args.lr_decay_steps,
+        lr_decay_rate=args.lr_decay_rate,
+        ema_decay=args.ema_decay,
         beta1=args.momentum,
         beta2=args.beta,
         weight_decay=args.weight_decay,

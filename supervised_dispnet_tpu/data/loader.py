@@ -83,6 +83,16 @@ class BatchLoader:
             # exceptions from dataset decode must reach the consumer — a
             # silently-dead producer would hang train_epoch on q.get()
             try:
+                if hasattr(self.dataset, "get_batch"):
+                    # vectorized batch fetch (packed datasets): one numpy
+                    # gather per batch, no per-item Python or thread pool
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        if not put(self.dataset.get_batch(idxs)):
+                            return
+                    put(None)
+                    return
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     def make_batch(idxs):
                         items = list(pool.map(self.dataset.__getitem__, idxs))

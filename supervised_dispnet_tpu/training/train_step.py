@@ -40,7 +40,11 @@ from supervised_dispnet_tpu.parallel.mesh import DATA_AXIS
 
 
 class TrainState(struct.PyTreeNode):
-    """Model + optimizer state (params, BN stats, opt state, step, rng)."""
+    """Model + optimizer state (params, BN stats, opt state, step, rng).
+
+    ``ema_params`` is an optional exponential-moving-average shadow of
+    ``params`` (None = EMA disabled; None is an empty pytree so the state
+    layout is unchanged for non-EMA runs)."""
 
     step: jax.Array
     params: Any
@@ -48,16 +52,25 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     rng: jax.Array
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_params: Any = None
 
-    def apply_gradients(self, grads, new_batch_stats, new_rng):
+    def apply_gradients(self, grads, new_batch_stats, new_rng,
+                        ema_decay: float = 0.0):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if ema_decay and new_ema is not None:
+            new_ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                new_ema, new_params,
+            )
         return self.replace(
             step=self.step + 1,
             params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             rng=new_rng,
+            ema_params=new_ema,
         )
 
 
@@ -67,9 +80,12 @@ def create_train_state(
     tx: optax.GradientTransformation,
     seed: int = 0,
     extra_models: dict | None = None,
+    ema: bool = False,
 ) -> TrainState:
     """Initialize a TrainState. ``extra_models`` maps name -> (model, args)
-    for multi-network training (disp net + pose net)."""
+    for multi-network training (disp net + pose net). ``ema`` seeds an
+    EMA shadow copy of the params (updated when the train step is built
+    with ``ema_decay > 0``)."""
     rng = jax.random.PRNGKey(seed)
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(init_rng, *example_input)
@@ -92,6 +108,9 @@ def create_train_state(
         opt_state=opt_state,
         rng=state_rng,
         tx=tx,
+        # a REAL copy, not an alias: donated steps may not receive the same
+        # buffer twice (params and its shadow are both donated)
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
     )
 
 
@@ -135,6 +154,7 @@ def make_supervised_train_step(
     multiscale: bool = True,
     donate: bool = True,
     use_pallas_losses: bool = False,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted supervised step: (state, batch) -> (state, metrics).
 
@@ -192,7 +212,8 @@ def make_supervised_train_step(
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(
-            grads, {**state.batch_stats, "disp": new_bs}, rng
+            grads, {**state.batch_stats, "disp": new_bs}, rng,
+            ema_decay=ema_decay,
         )
         metrics = {"loss": loss}
         return new_state, metrics
@@ -224,6 +245,7 @@ def make_selfsup_train_step(
     donate: bool = True,
     use_pallas_warp: bool = False,
     half_res_photo: bool = False,
+    ema_decay: float = 0.0,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights). ``half_res_photo`` computes
@@ -273,7 +295,8 @@ def make_selfsup_train_step(
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads, aux["batch_stats"], rng)
+        new_state = state.apply_gradients(grads, aux["batch_stats"], rng,
+                                          ema_decay=ema_decay)
         metrics = {
             "loss": loss,
             "photo_loss": aux["photo_loss"],

@@ -77,13 +77,45 @@ class TrainerConfig:
     resume: bool = False  # auto-resume from the latest checkpoint in
     #   save_path (exact: params + optimizer + PRNG + step)
     loader: str = "threads"  # 'threads' (BatchLoader) | 'grain' (multiprocess)
+    # learning-rate schedule (extension: the reference trained at a fixed
+    # lr; schedules are expressed in optimizer STEPS, not epochs)
+    lr_schedule: str = "constant"  # constant | step | cosine
+    lr_warmup_steps: int = 0  # linear 0 -> lr warmup
+    lr_decay_steps: int = 0  # step: staircase period; cosine: total decay span
+    lr_decay_rate: float = 0.5  # step schedule decay factor per period
+    ema_decay: float = 0.0  # >0 keeps an EMA shadow of params and
+    #   validates/evaluates with it (0 = off, reference behavior)
+
+
+def build_lr_schedule(cfg: TrainerConfig):
+    """Learning-rate schedule from config. Returns an optax schedule fn
+    (callable step -> lr); a constant schedule when nothing is configured."""
+    if cfg.lr_schedule == "constant":
+        base = optax.constant_schedule(cfg.lr)
+    elif cfg.lr_schedule == "step":
+        if cfg.lr_decay_steps <= 0:
+            raise ValueError("lr_schedule='step' requires lr_decay_steps > 0")
+        base = optax.exponential_decay(
+            cfg.lr, transition_steps=cfg.lr_decay_steps,
+            decay_rate=cfg.lr_decay_rate, staircase=True)
+    elif cfg.lr_schedule == "cosine":
+        if cfg.lr_decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' requires lr_decay_steps > 0")
+        base = optax.cosine_decay_schedule(cfg.lr, decay_steps=cfg.lr_decay_steps)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.lr_warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps)
+        return optax.join_schedules([warmup, base], [cfg.lr_warmup_steps])
+    return base
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    lr = build_lr_schedule(cfg)
     if cfg.weight_decay > 0:
-        return optax.adamw(cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
+        return optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
                            weight_decay=cfg.weight_decay)
-    return optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+    return optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
 
 
 def aug_config(cfg: TrainerConfig) -> AugmentConfig:
@@ -126,8 +158,10 @@ class Trainer:
             refs = [jnp.zeros((1, H, W, 3))] * (cfg.sequence_length - 1)
             extra = {"pose": (pose_model, (jnp.zeros((1, H, W, 3)), refs))}
         self.state = create_train_state(
-            disp_model, example, build_optimizer(cfg), seed=cfg.seed, extra_models=extra
+            disp_model, example, build_optimizer(cfg), seed=cfg.seed,
+            extra_models=extra, ema=cfg.ema_decay > 0,
         )
+        self.lr_schedule = build_lr_schedule(cfg)
 
         if self.selfsup:
             self.train_step = make_selfsup_train_step(
@@ -141,12 +175,14 @@ class Trainer:
                 aug=self.aug, mesh=self.mesh,
                 use_pallas_warp=cfg.use_pallas_warp,
                 half_res_photo=cfg.half_res_photo,
+                ema_decay=cfg.ema_decay,
             )
         else:
             self.train_step = make_supervised_train_step(
                 disp_model, cfg.loss, bins=self.bins, aug=self.aug,
                 max_depth=cfg.max_depth, mesh=self.mesh,
                 use_pallas_losses=cfg.use_pallas_losses,
+                ema_decay=cfg.ema_decay,
             )
         self.eval_step = make_eval_step(
             disp_model, classification=self.classification, bins=self.bins,
@@ -181,13 +217,21 @@ class Trainer:
 
         self._viz_forward = _jax.jit(_viz_forward)
 
+    def eval_params(self):
+        """Parameters used for validation/inference: the EMA shadow when
+        EMA is enabled, else the live params."""
+        if self.cfg.ema_decay > 0 and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def predict(self, images) -> "np.ndarray":
         """Public inference entry: (B, H, W, 3) images in [0, 1] ->
         (B, H, W) disparity (or decoded classification disparity) using the
-        current state. Normalization matches the training config."""
+        current state (EMA params when enabled). Normalization matches the
+        training config."""
         imgs = normalize_images(jnp.asarray(images), self.aug.mean, self.aug.std)
         return np.asarray(self._viz_forward(
-            self.state.params, self.state.batch_stats, imgs))
+            self.eval_params(), self.state.batch_stats, imgs))
 
     def restore_best(self):
         """Load the best (lowest val abs_rel) checkpoint into the state."""
@@ -198,8 +242,20 @@ class Trainer:
 
     # -- data ---------------------------------------------------------------
     def make_loaders(self):
-        from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
-        from supervised_dispnet_tpu.data.validation_folders import ValidationSet
+        from supervised_dispnet_tpu.data.packed import is_packed
+
+        if is_packed(self.cfg.data):
+            # packed binary dataset (data/packed.py): zero-decode batches
+            # via vectorized memmap gathers
+            from supervised_dispnet_tpu.data.packed import (
+                PackedSequenceDataset, PackedValidationSet,
+            )
+
+            SequenceFolder = PackedSequenceDataset
+            ValidationSet = PackedValidationSet
+        else:
+            from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
+            from supervised_dispnet_tpu.data.validation_folders import ValidationSet
 
         train_set = SequenceFolder(
             self.cfg.data, seed=self.cfg.seed, train=True,
@@ -291,22 +347,35 @@ class Trainer:
         t_data = AverageMeter(precision=3)
         t_batch = AverageMeter(precision=3)
         end = time.time()
+        step0 = int(self.state.step)
+
+        def consume(i: int, metrics) -> None:
+            # one-step-lagged readback: metrics of step i are read AFTER
+            # step i+1 is dispatched, so the host->device round trip (a
+            # tunnel RTT per float() here) hides behind device compute
+            loss = float(metrics["loss"])
+            meter.update(loss)
+            csv.write_iter([loss])
+            logger.train_update(
+                i, f"batch {t_batch} data {t_data} loss {meter}"
+            )
+            jsonl.log(event="train_iter", step=step0 + i + 1, loss=loss)
+
+        pending = None
         for i, np_batch in enumerate(loader):
             t_data.update(time.time() - end)
             batch = self._prep_train_batch(np_batch)
             self.state, metrics = self.train_step(self.state, batch)
-            loss = float(metrics["loss"])
-            meter.update(loss)
-            csv.write_iter([loss])
+            if pending is not None:
+                consume(*pending)
+            pending = (i, metrics)
             t_batch.update(time.time() - end)
             end = time.time()
-            logger.train_update(
-                i, f"batch {t_batch} data {t_data} loss {meter}"
-            )
-            jsonl.log(event="train_iter", step=int(self.state.step), loss=loss)
             freq = self.cfg.training_output_freq
             if self.tb is not None and freq and i % freq == 0:
-                self._log_images(np_batch, int(self.state.step))
+                self._log_images(np_batch, step0 + i + 1)
+        if pending is not None:
+            consume(*pending)
         return meter.avg[0]
 
     def _log_images(self, np_batch, step: int):
@@ -342,7 +411,7 @@ class Trainer:
                 "intrinsics": jnp.asarray(np_batch["intrinsics"]),
             }, self.mesh)
             out = self.selfsup_eval_step(
-                self.state.params, self.state.batch_stats, batch)
+                self.eval_params(), self.state.batch_stats, batch)
             for k, v in out.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -359,7 +428,7 @@ class Trainer:
             imgs = normalize_images(jnp.asarray(np_batch["img"]), mean, std)
             batch = shard_batch({"img": imgs, "depth": jnp.asarray(np_batch["depth"])},
                                 self.mesh)
-            errs = self.eval_step(self.state.params, self.state.batch_stats, batch)
+            errs = self.eval_step(self.eval_params(), self.state.batch_stats, batch)
             for k, v in errs.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -435,9 +504,12 @@ class Trainer:
             logger.print_result(
                 "val: " + ", ".join(f"{k}={v:.4f}" for k, v in errors.items())
             )
-            jsonl.log(event="epoch", epoch=epoch, train_loss=train_loss, **errors)
+            lr_now = float(self.lr_schedule(int(self.state.step)))
+            jsonl.log(event="epoch", epoch=epoch, train_loss=train_loss,
+                      lr=lr_now, **errors)
             csv.write_summary([train_loss, errors.get(sel_key, 0.0)])
             if self.tb is not None:
+                self.tb.add_scalar("train/lr", lr_now, epoch)
                 self.tb.add_scalar("train/loss", train_loss, epoch)
                 for k, v in errors.items():
                     self.tb.add_scalar(f"val/{k}", v, epoch)

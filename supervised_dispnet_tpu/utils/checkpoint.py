@@ -48,6 +48,8 @@ def save_checkpoint(
         "rng": state.rng,
         "step": np.asarray(state.step),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     with ocp.CheckpointManager(
         directory / "ckpts",
         options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
@@ -95,17 +97,32 @@ def restore_checkpoint(directory: str | Path, state, best: bool = False):
         "rng": state.rng,
         "step": np.asarray(state.step),
     }
+    has_ema = getattr(state, "ema_params", None) is not None
+    if has_ema:
+        template["ema_params"] = state.ema_params
     with ocp.CheckpointManager(directory / sub) as mgr:
         step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {directory / sub}")
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except BaseException:
+            if not has_ema:
+                raise
+            # pre-EMA checkpoint restored into an EMA-enabled state: restore
+            # without the shadow and re-seed it from the live params
+            template.pop("ema_params")
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    new_ema = state.ema_params
+    if has_ema:
+        new_ema = restored.get("ema_params", restored["params"])
     return state.replace(
         step=jax.numpy.asarray(restored["step"]),
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
         rng=jax.numpy.asarray(restored["rng"]),
+        ema_params=new_ema,
     )
 
 
