@@ -42,7 +42,7 @@ def make_dump(root: Path, frames: int, H: int, W: int) -> None:
 
 
 def run_epochs(data_root: Path, batch: int, workers: int, network: str,
-               save: Path) -> float:
+               save: Path, loader: str = "threads") -> float:
     """Build a Trainer, run one warmup epoch (compile) + one timed epoch;
     return sustained images/sec of the timed epoch."""
     from supervised_dispnet_tpu.models import get_disp_net
@@ -54,6 +54,7 @@ def run_epochs(data_root: Path, batch: int, workers: int, network: str,
     cfg = TrainerConfig(
         data=str(data_root), save_path=str(save), loss="berhu",
         network=network, batch_size=batch, workers=workers, epochs=2,
+        loader=loader,
     )
     trainer = Trainer(cfg, get_disp_net(network))
     train_loader, _ = trainer.make_loaders()
@@ -107,12 +108,17 @@ def main() -> None:
         packed_ips = run_epochs(packed, args.batch, args.workers, args.network,
                                 Path(td) / "run_packed")
         print(f"packed pipeline:      {packed_ips:.0f} img/s sustained", flush=True)
+        device_ips = run_epochs(packed, args.batch, args.workers, args.network,
+                                Path(td) / "run_device", loader="device")
+        print(f"device-resident:      {device_ips:.0f} img/s sustained", flush=True)
 
         print(json.dumps({
             "metric": "sustained_epoch_images_per_sec",
-            "value": {"jpeg": round(jpg_ips, 1), "packed": round(packed_ips, 1)},
+            "value": {"jpeg": round(jpg_ips, 1), "packed": round(packed_ips, 1),
+                      "device": round(device_ips, 1)},
             "unit": f"images/sec (end-to-end epoch, {args.network} berhu "
-                    f"B={args.batch}, host loader + device step)",
+                    f"B={args.batch}, host loader + device step; 'device' = "
+                    "HBM-resident dataset, on-device gathers)",
         }))
 
 

@@ -87,9 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-pallas-losses", action="store_true",
                    help="use the fused Pallas loss-reduction kernels "
                         "(berhu / classification)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 trunk compute (params/heads fp32); the "
+                        "configuration the headline TPU numbers use")
     p.add_argument("--debug-nans", action="store_true")
-    p.add_argument("--loader", default="threads", choices=["threads", "grain"],
-                   help="host input pipeline backend")
+    p.add_argument("--loader", default="threads",
+                   choices=["threads", "grain", "device"],
+                   help="input pipeline backend; 'device' keeps the whole "
+                        "packed train split in HBM and gathers batches on "
+                        "device (requires a packed dataset root)")
     p.add_argument("-f", "--training-output-freq", type=int, default=0,
                    help="log disp images to tensorboard every N iters")
     p.add_argument("--name", default="exp", help="experiment name")
@@ -160,6 +166,7 @@ def main(argv: list[str] | None = None) -> None:
         use_pallas_warp=args.use_pallas_warp,
         half_res_photo=args.half_res_photo,
         use_pallas_losses=args.use_pallas_losses,
+        bf16=args.bf16,
         debug_nans=args.debug_nans,
         loader=args.loader,
         training_output_freq=args.training_output_freq,

@@ -159,8 +159,10 @@ class PackedSequenceDataset:
         sequence_length: int = 3,
         with_depth: bool = False,
         shuffle: bool = True,
+        uint8: bool = False,
     ):
         self.split = _PackedSplit(root, "train" if train else "val")
+        self.uint8 = uint8
         self.sequence_length = sequence_length
         self.with_depth = with_depth
         demi = (sequence_length - 1) // 2
@@ -183,14 +185,19 @@ class PackedSequenceDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def _img(self, sel):
+        raw = self.split.images[sel]
+        return np.asarray(raw) if self.uint8 else raw.astype(np.float32) / 255.0
+
     def __getitem__(self, index: int) -> dict:
         s, tgt, refs = self.samples[index]
+        dt = np.uint8 if self.uint8 else np.float32
         out = {
-            "tgt": self.split.images[tgt].astype(np.float32) / 255.0,
+            "tgt": self._img(tgt),
             "ref_imgs": (
-                self.split.images[refs].astype(np.float32) / 255.0
+                self._img(refs)
                 if refs else
-                np.zeros((0,) + self.split.images.shape[1:], np.float32)),
+                np.zeros((0,) + self.split.images.shape[1:], dt)),
             "intrinsics": self.split.intrinsics[s].copy(),
         }
         if self.with_depth:
@@ -203,18 +210,19 @@ class PackedSequenceDataset:
         scene_ids = np.fromiter((p[0] for p in picked), np.int64)
         tgt_ids = np.fromiter((p[1] for p in picked), np.int64)
         out = {
-            "tgt": self.split.images[tgt_ids].astype(np.float32) / 255.0,
+            "tgt": self._img(tgt_ids),
             "intrinsics": self.split.intrinsics[scene_ids].copy(),
         }
         n_refs = self.sequence_length - 1
         if n_refs:
             ref_ids = np.asarray([p[2] for p in picked], np.int64)  # (B, R)
-            refs = self.split.images[ref_ids.ravel()].astype(np.float32) / 255.0
+            refs = self._img(ref_ids.ravel())
             out["ref_imgs"] = refs.reshape(ref_ids.shape + refs.shape[1:])
         else:
             B = len(picked)
             out["ref_imgs"] = np.zeros(
-                (B, 0) + self.split.images.shape[1:], np.float32)
+                (B, 0) + self.split.images.shape[1:],
+                np.uint8 if self.uint8 else np.float32)
         if self.with_depth:
             out["depth"] = np.asarray(self.split.depth[tgt_ids])
         return out
@@ -224,7 +232,8 @@ class PackedValidationSet:
     """Packed twin of ``ValidationSet``: (img, depth) pairs from the val
     split, restricted to frames with GT depth."""
 
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, uint8: bool = False):
+        self.uint8 = uint8
         self.split = _PackedSplit(root, "val")
         if self.split.depth is None:
             raise FileNotFoundError("packed val split has no GT depth")
@@ -233,17 +242,21 @@ class PackedValidationSet:
     def __len__(self) -> int:
         return len(self.frame_ids)
 
+    def _img(self, sel):
+        raw = self.split.images[sel]
+        return np.asarray(raw) if self.uint8 else raw.astype(np.float32) / 255.0
+
     def __getitem__(self, index: int) -> dict:
         i = self.frame_ids[index]
         return {
-            "img": self.split.images[i].astype(np.float32) / 255.0,
+            "img": self._img(i),
             "depth": np.asarray(self.split.depth[i]),
         }
 
     def get_batch(self, ids) -> dict[str, np.ndarray]:
         f = self.frame_ids[np.asarray(ids, np.int64)]
         return {
-            "img": self.split.images[f].astype(np.float32) / 255.0,
+            "img": self._img(f),
             "depth": np.asarray(self.split.depth[f]),
         }
 

@@ -26,20 +26,25 @@ from pathlib import Path
 import numpy as np
 
 
-def load_as_float(path: Path) -> np.ndarray:
-    """Decode an image to float32 RGB. cv2 first (SIMD decode, releases the
+def load_as_uint8(path: Path) -> np.ndarray:
+    """Decode an image to uint8 RGB. cv2 first (SIMD decode, releases the
     GIL — matters for the threaded BatchLoader), imageio fallback."""
     try:
         import cv2
 
         img = cv2.imread(str(path), cv2.IMREAD_COLOR)
         if img is not None:
-            return img[:, :, ::-1].astype(np.float32)
+            return np.ascontiguousarray(img[:, :, ::-1])
     except ImportError:
         pass
     import imageio.v2 as imageio
 
-    return imageio.imread(path).astype(np.float32)
+    return np.asarray(imageio.imread(path), dtype=np.uint8)
+
+
+def load_as_float(path: Path) -> np.ndarray:
+    """Decode an image to float32 RGB."""
+    return load_as_uint8(path).astype(np.float32)
 
 
 class SequenceFolder:
@@ -51,9 +56,13 @@ class SequenceFolder:
         sequence_length: int = 3,
         with_depth: bool = False,
         shuffle: bool = True,
+        uint8: bool = False,
     ):
+        """``uint8=True`` yields raw uint8 images (the jitted train step
+        converts to float on device) — 4x less host->device traffic."""
         self.root = Path(root)
         self.with_depth = with_depth
+        self.uint8 = uint8
         list_file = self.root / ("train.txt" if train else "val.txt")
         scenes = [self.root / line.strip() for line in open(list_file) if line.strip()]
         self.samples = self._crawl(scenes, sequence_length)
@@ -91,11 +100,18 @@ class SequenceFolder:
 
     def __getitem__(self, index: int) -> dict:
         s = self.samples[index]
-        tgt = load_as_float(s["tgt"]) / 255.0
-        refs = [load_as_float(p) / 255.0 for p in s["ref_imgs"]]
+        if self.uint8:
+            tgt = load_as_uint8(s["tgt"])
+            refs = [load_as_uint8(p) for p in s["ref_imgs"]]
+            zeros_dtype = np.uint8
+        else:
+            tgt = load_as_float(s["tgt"]) / 255.0
+            refs = [load_as_float(p) / 255.0 for p in s["ref_imgs"]]
+            zeros_dtype = np.float32
         out = {
-            "tgt": tgt,  # (H, W, 3) float [0, 1]
-            "ref_imgs": np.stack(refs) if refs else np.zeros((0,) + tgt.shape),
+            "tgt": tgt,  # (H, W, 3) float [0, 1] or uint8
+            "ref_imgs": (np.stack(refs) if refs
+                         else np.zeros((0,) + tgt.shape, zeros_dtype)),
             "intrinsics": s["intrinsics"].copy(),
         }
         if self.with_depth:

@@ -15,7 +15,8 @@ from supervised_dispnet_tpu.data.sequence_folders import load_as_float
 
 
 class ValidationSet:
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, uint8: bool = False):
+        self.uint8 = uint8
         self.root = Path(root)
         list_file = self.root / "val.txt"
         scenes = [self.root / line.strip() for line in open(list_file) if line.strip()]
@@ -33,7 +34,13 @@ class ValidationSet:
 
     def __getitem__(self, index: int) -> dict:
         img_path, depth_path = self.samples[index]
+        if self.uint8:
+            from supervised_dispnet_tpu.data.sequence_folders import load_as_uint8
+
+            img = load_as_uint8(img_path)
+        else:
+            img = load_as_float(img_path) / 255.0
         return {
-            "img": load_as_float(img_path) / 255.0,
+            "img": img,
             "depth": np.load(depth_path).astype(np.float32),
         }

@@ -34,8 +34,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with the leading axis sharded."""
-    sharding = batch_sharding(mesh)
+    """Device-put a pytree of host arrays with the leading axis sharded.
+
+    On a 1-device mesh this is a PLAIN device_put: arrays committed to a
+    NamedSharding take a drastically slower dispatch path through the
+    axon TPU relay (measured 93 ms -> 9.2 s/step for the same supervised
+    program), and on one device the sharding annotation adds nothing.
+    """
+    if mesh.size == 1:
+        dev = mesh.devices.flat[0]
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dev), batch)
 
     def put(x):
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))

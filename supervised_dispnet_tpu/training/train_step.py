@@ -132,6 +132,34 @@ def _apply(model, params, batch_stats, *args, train: bool):
     return out, batch_stats
 
 
+def _imgs_to_float(x: jax.Array) -> jax.Array:
+    """uint8 [0,255] -> float32 [0,1] on device (no-op for float inputs).
+
+    Batches travel host->device as uint8 so the transfer is 4x smaller —
+    on tunneled TPU setups the link is the training bottleneck (measured
+    ~30-45 MB/s; a fresh fp32 B=64 image batch alone costs ~1.4 s)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
+def _depth_to_float(x: jax.Array) -> jax.Array:
+    """f16-transported GT depth -> f32 (no-op for f32). fp16 is exact for
+    the sparse zeros and keeps <0.05% relative error below the 80 m cap —
+    far under the abs_rel scale — for half the transfer bytes."""
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
+def _collapse_single_device_mesh(mesh):
+    """A 1-device mesh gets NO sharding annotations: committed-sharded
+    dispatch is pathologically slow through the axon TPU relay (measured
+    93 ms -> 2.7-9.2 s/step for the identical program) and annotations
+    add nothing on one device. Multi-device meshes are untouched."""
+    if mesh is not None and mesh.size == 1:
+        return None
+    return mesh
+
+
 SUPERVISED_LOSSES: dict[str, Callable] = {
     "l1": l1_loss,
     "berhu": berhu_loss,
@@ -182,7 +210,8 @@ def make_supervised_train_step(
     def step(state: TrainState, batch):
         rng, key = jax.random.split(state.rng)
         imgs, _, depth_gt = augment_batch(
-            key, batch["tgt"][:, None], batch["intrinsics"], batch["depth"], config=aug
+            key, _imgs_to_float(batch["tgt"])[:, None], batch["intrinsics"],
+            _depth_to_float(batch["depth"]), config=aug
         )
         x = imgs[:, 0]
         mask = (depth_gt > 0) & (depth_gt < max_depth)
@@ -218,6 +247,7 @@ def make_supervised_train_step(
         metrics = {"loss": loss}
         return new_state, metrics
 
+    mesh = _collapse_single_device_mesh(mesh)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     repl = NamedSharding(mesh, P())
@@ -259,7 +289,9 @@ def make_selfsup_train_step(
 
     def step(state: TrainState, batch):
         rng, key = jax.random.split(state.rng)
-        snippet = jnp.concatenate([batch["tgt"][:, None], batch["ref_imgs"]], axis=1)
+        snippet = jnp.concatenate(
+            [_imgs_to_float(batch["tgt"])[:, None],
+             _imgs_to_float(batch["ref_imgs"])], axis=1)
         imgs, K = augment_batch(key, snippet, batch["intrinsics"], config=aug)
         tgt = imgs[:, 0]
         refs = [imgs[:, 1 + r] for r in range(nb_ref_imgs)]
@@ -305,6 +337,7 @@ def make_selfsup_train_step(
         }
         return new_state, metrics
 
+    mesh = _collapse_single_device_mesh(mesh)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     repl = NamedSharding(mesh, P())
@@ -326,17 +359,28 @@ def make_selfsup_eval_step(
     num_scales: int = 4,
     with_exp: bool = True,
     mesh=None,
+    aug: AugmentConfig | None = None,
 ):
     """Loss-only self-supervised validation (reference:
     ``train.py::validate_without_gt`` — photometric + exp + smooth losses on
     the val set, no gradients).
 
-    batch: {'tgt', 'ref_imgs', 'intrinsics'} normalized images.
+    batch: {'tgt', 'ref_imgs', 'intrinsics'}. With ``aug`` set, images
+    arrive raw ([0,1] float or uint8) and are normalized on device;
+    without it they must be pre-normalized (legacy contract).
     """
 
+    def prep(x):
+        x = _imgs_to_float(x)
+        if aug is not None:
+            from supervised_dispnet_tpu.data.augment import normalize_images
+
+            x = normalize_images(x, aug.mean, aug.std)
+        return x
+
     def step(params, batch_stats, batch):
-        tgt = batch["tgt"]
-        refs = [batch["ref_imgs"][:, r] for r in range(nb_ref_imgs)]
+        tgt = prep(batch["tgt"])
+        refs = [prep(batch["ref_imgs"][:, r]) for r in range(nb_ref_imgs)]
         disps, _ = _apply(disp_model, params["disp"], batch_stats["disp"],
                           tgt, train=False)
         disps = disps[:num_scales]
@@ -355,6 +399,7 @@ def make_selfsup_eval_step(
         smooth = smooth_loss(disps)
         return {"photo_loss": photo, "exp_loss": exp_l, "smooth_loss": smooth}
 
+    mesh = _collapse_single_device_mesh(mesh)
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
@@ -368,17 +413,26 @@ def make_eval_step(
     bins: DepthBins | None = None,
     max_depth: float = 80.0,
     mesh=None,
+    aug: AugmentConfig | None = None,
 ):
     """Validation step: forward + Eigen metrics against dumped GT
     (reference: ``train.py::validate_with_gt``).
 
-    batch: {'img': (B, H, W, 3) normalized, 'depth': (B, H, W)}.
+    batch: {'img': (B, H, W, 3), 'depth': (B, H, W)}. With ``aug`` set,
+    images arrive raw ([0,1] float or uint8) and are normalized on device;
+    without it they must be pre-normalized (legacy contract). Depth may
+    arrive f16 (transport) and is evaluated in f32.
     """
     if classification and bins is None:
         bins = DepthBins()
 
     def step(params, batch_stats, batch):
-        out, _ = _apply(model, params["disp"], batch_stats["disp"], batch["img"], train=False)
+        img = _imgs_to_float(batch["img"])
+        if aug is not None:
+            from supervised_dispnet_tpu.data.augment import normalize_images
+
+            img = normalize_images(img, aug.mean, aug.std)
+        out, _ = _apply(model, params["disp"], batch_stats["disp"], img, train=False)
         if classification:
             if isinstance(out, (list, tuple)):
                 out = out[0]  # finest-scale logits
@@ -387,10 +441,11 @@ def make_eval_step(
             depth = 1.0 / out[0][..., 0]
         else:  # FCRN-style direct depth
             depth = out[..., 0]
-        gt = batch["depth"]
+        gt = _depth_to_float(batch["depth"])
         mask = (gt > 0) & (gt < max_depth)
         return compute_errors(gt, depth, mask)
 
+    mesh = _collapse_single_device_mesh(mesh)
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())

@@ -77,6 +77,8 @@ class TrainerConfig:
     resume: bool = False  # auto-resume from the latest checkpoint in
     #   save_path (exact: params + optimizer + PRNG + step)
     loader: str = "threads"  # 'threads' (BatchLoader) | 'grain' (multiprocess)
+    bf16: bool = False  # bf16 trunk compute (params/heads stay fp32) — the
+    #   configuration all headline TPU numbers use (BASELINE.md)
     # learning-rate schedule (extension: the reference trained at a fixed
     # lr; schedules are expressed in optimizer STEPS, not epochs)
     lr_schedule: str = "constant"  # constant | step | cosine
@@ -129,6 +131,11 @@ def aug_config(cfg: TrainerConfig) -> AugmentConfig:
 class Trainer:
     def __init__(self, cfg: TrainerConfig, disp_model, pose_model=None, mesh=None):
         self.cfg = cfg
+        if cfg.bf16:
+            if hasattr(disp_model, "dtype"):
+                disp_model = disp_model.clone(dtype=jnp.bfloat16)
+            if pose_model is not None and hasattr(pose_model, "dtype"):
+                pose_model = pose_model.clone(dtype=jnp.bfloat16)
         self.disp_model = disp_model
         self.pose_model = pose_model
         if mesh is None:
@@ -163,30 +170,11 @@ class Trainer:
         )
         self.lr_schedule = build_lr_schedule(cfg)
 
-        if self.selfsup:
-            self.train_step = make_selfsup_train_step(
-                disp_model, pose_model,
-                nb_ref_imgs=cfg.sequence_length - 1,
-                photo_weight=cfg.photo_loss_weight,
-                mask_weight=cfg.mask_loss_weight if cfg.with_exp_mask else 0.0,
-                smooth_weight=cfg.smooth_loss_weight,
-                rotation_mode=cfg.rotation_mode,
-                padding_mode=cfg.padding_mode,
-                aug=self.aug, mesh=self.mesh,
-                use_pallas_warp=cfg.use_pallas_warp,
-                half_res_photo=cfg.half_res_photo,
-                ema_decay=cfg.ema_decay,
-            )
-        else:
-            self.train_step = make_supervised_train_step(
-                disp_model, cfg.loss, bins=self.bins, aug=self.aug,
-                max_depth=cfg.max_depth, mesh=self.mesh,
-                use_pallas_losses=cfg.use_pallas_losses,
-                ema_decay=cfg.ema_decay,
-            )
+        self._device_data = None  # set when cfg.loader == 'device'
+        self.train_step = self._make_train_step(donate=True)
         self.eval_step = make_eval_step(
             disp_model, classification=self.classification, bins=self.bins,
-            max_depth=cfg.max_depth, mesh=self.mesh,
+            max_depth=cfg.max_depth, mesh=self.mesh, aug=self.aug,
         )
         self.selfsup_eval_step = None
         if self.selfsup:
@@ -196,7 +184,7 @@ class Trainer:
                 rotation_mode=cfg.rotation_mode,
                 padding_mode=cfg.padding_mode,
                 with_exp=cfg.with_exp_mask and cfg.mask_loss_weight > 0,
-                mesh=self.mesh,
+                mesh=self.mesh, aug=self.aug,
             )
 
         import jax as _jax
@@ -216,6 +204,31 @@ class Trainer:
             return 1.0 / jnp.maximum(out[..., 0], 1e-3)
 
         self._viz_forward = _jax.jit(_viz_forward)
+
+    def _make_train_step(self, donate: bool):
+        cfg = self.cfg
+        if self.selfsup:
+            return make_selfsup_train_step(
+                self.disp_model, self.pose_model,
+                nb_ref_imgs=cfg.sequence_length - 1,
+                photo_weight=cfg.photo_loss_weight,
+                mask_weight=cfg.mask_loss_weight if cfg.with_exp_mask else 0.0,
+                smooth_weight=cfg.smooth_loss_weight,
+                rotation_mode=cfg.rotation_mode,
+                padding_mode=cfg.padding_mode,
+                aug=self.aug, mesh=self.mesh,
+                use_pallas_warp=cfg.use_pallas_warp,
+                half_res_photo=cfg.half_res_photo,
+                ema_decay=cfg.ema_decay,
+                donate=donate,
+            )
+        return make_supervised_train_step(
+            self.disp_model, cfg.loss, bins=self.bins, aug=self.aug,
+            max_depth=cfg.max_depth, mesh=self.mesh,
+            use_pallas_losses=cfg.use_pallas_losses,
+            ema_decay=cfg.ema_decay,
+            donate=donate,
+        )
 
     def eval_params(self):
         """Parameters used for validation/inference: the EMA shadow when
@@ -244,6 +257,8 @@ class Trainer:
     def make_loaders(self):
         from supervised_dispnet_tpu.data.packed import is_packed
 
+        if self.cfg.loader == "device":
+            return self._make_device_loaders()
         if is_packed(self.cfg.data):
             # packed binary dataset (data/packed.py): zero-decode batches
             # via vectorized memmap gathers
@@ -263,9 +278,11 @@ class Trainer:
             # decoding them (3x host decode saving)
             sequence_length=self.cfg.sequence_length if self.selfsup else 1,
             with_depth=not self.selfsup,
+            # uint8 transport: the jitted steps convert/normalize on device
+            uint8=True,
         )
         try:
-            val_set = ValidationSet(self.cfg.data)
+            val_set = ValidationSet(self.cfg.data, uint8=True)
         except Exception:
             val_set = None
         self.val_with_gt = bool(val_set) and len(val_set) >= self.cfg.batch_size
@@ -275,6 +292,7 @@ class Trainer:
             val_set = SequenceFolder(
                 self.cfg.data, seed=self.cfg.seed, train=False,
                 sequence_length=self.cfg.sequence_length, shuffle=False,
+                uint8=True,
             )
         if self.cfg.loader == "grain":
             # multiprocess input pipeline for hosts where threads can't
@@ -325,7 +343,83 @@ class Trainer:
         )
         return train_loader, val_loader
 
+    def _make_device_loaders(self):
+        """loader='device': the whole packed train split lives in HBM; the
+        per-step 'batch' is a tiny index dict and the gather runs on device
+        inside the train-step program (data/device_cache.py)."""
+        import functools
+
+        import jax
+
+        from supervised_dispnet_tpu.data.device_cache import (
+            DeviceResidentSequence,
+        )
+        from supervised_dispnet_tpu.data.packed import (
+            PackedSequenceDataset, PackedValidationSet, is_packed,
+        )
+
+        if not is_packed(self.cfg.data):
+            raise ValueError(
+                "loader='device' requires a packed dataset root — pack the "
+                "dump first: python -m supervised_dispnet_tpu.data.packed "
+                "<dump_root> <out_root>")
+        if self.mesh.size > 1:
+            raise NotImplementedError(
+                "loader='device' is single-device for now (a multi-chip "
+                "version would shard the cache over frames)")
+
+        cache = DeviceResidentSequence(
+            self.cfg.data, self.cfg.batch_size,
+            train=True,
+            sequence_length=self.cfg.sequence_length if self.selfsup else 1,
+            with_depth=not self.selfsup,
+            seed=self.cfg.seed,
+            epoch_size=self.cfg.epoch_size or None,
+        )
+        self._device_data = {"images": cache.images,
+                             "intrinsics": cache.intrinsics}
+        if cache.depth is not None:
+            self._device_data["depth"] = cache.depth
+        inner = self._make_train_step(donate=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def device_step(state, data, idx):
+            batch = {
+                "tgt": data["images"][idx["tgt_idx"]],
+                "intrinsics": data["intrinsics"][idx["scene_idx"]],
+            }
+            if "ref_idx" in idx:
+                batch["ref_imgs"] = data["images"][idx["ref_idx"]]
+            if "depth" in data:
+                batch["depth"] = data["depth"][idx["tgt_idx"]]
+            return inner(state, batch)
+
+        data = self._device_data
+        self.train_step = lambda state, idx: device_step(state, data, idx)
+
+        # validation stays on the (packed) host path — it runs once per
+        # epoch and reuses the page cache
+        try:
+            val_set = PackedValidationSet(self.cfg.data, uint8=True)
+        except FileNotFoundError:
+            val_set = None
+        self.val_with_gt = bool(val_set) and len(val_set) >= self.cfg.batch_size
+        if not self.val_with_gt:
+            val_set = PackedSequenceDataset(
+                self.cfg.data, seed=self.cfg.seed, train=False,
+                sequence_length=self.cfg.sequence_length, shuffle=False,
+                uint8=True)
+        val_loader = BatchLoader(
+            val_set, self.cfg.batch_size, shuffle=False,
+            num_workers=self.cfg.workers,
+        )
+        return cache, val_loader
+
     def _prep_train_batch(self, np_batch):
+        if self._device_data is not None:
+            # device-resident mode: np_batch IS the index dict (a few
+            # hundred bytes); the gather happens inside the step program
+            return np_batch
         if self.selfsup:
             batch = {
                 "tgt": np_batch["tgt"],
@@ -336,7 +430,9 @@ class Trainer:
             batch = {
                 "tgt": np_batch["tgt"],
                 "intrinsics": np_batch["intrinsics"],
-                "depth": np_batch["depth"],
+                # f16 transport: half the bytes over the host->device link;
+                # exact for the sparse zeros, <0.05% relative below 80 m
+                "depth": np_batch["depth"].astype(np.float16),
             }
         return shard_batch(batch, self.mesh)
 
@@ -384,7 +480,14 @@ class Trainer:
         from supervised_dispnet_tpu.data.augment import normalize_images
         from supervised_dispnet_tpu.utils.viz import tensor2array
 
-        img = np_batch["tgt"][:1]
+        if self._device_data is not None:
+            # device-resident mode: np_batch is an index dict — gather the
+            # first target frame from the HBM cache
+            img = np.asarray(self._device_data["images"][np_batch["tgt_idx"][:1]])
+        else:
+            img = np_batch["tgt"][:1]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
         disp = np.asarray(self._viz_forward(
             self.state.params, self.state.batch_stats,
             normalize_images(jnp.asarray(img), self.aug.mean, self.aug.std),
@@ -400,15 +503,14 @@ class Trainer:
             raise RuntimeError(
                 "no GT depth dumps found and not in self-supervised mode — "
                 "re-run prepare_train_data with --with-depth")
-        mean, std = self.aug.mean, self.aug.std
         sums: dict[str, float] = {}
         n = 0
         for i, np_batch in enumerate(loader):
+            # raw uint8 transport; the eval step converts + normalizes
             batch = shard_batch({
-                "tgt": normalize_images(jnp.asarray(np_batch["tgt"]), mean, std),
-                "ref_imgs": normalize_images(
-                    jnp.asarray(np_batch["ref_imgs"]), mean, std),
-                "intrinsics": jnp.asarray(np_batch["intrinsics"]),
+                "tgt": np_batch["tgt"],
+                "ref_imgs": np_batch["ref_imgs"],
+                "intrinsics": np_batch["intrinsics"],
             }, self.mesh)
             out = self.selfsup_eval_step(
                 self.eval_params(), self.state.batch_stats, batch)
@@ -420,14 +522,14 @@ class Trainer:
 
     def validate(self, loader, logger: TermLogger):
         """validate_with_gt (reference: ``train.py::validate_with_gt``)."""
-        mean = self.aug.mean
-        std = self.aug.std
         sums: dict[str, float] = {}
         n = 0
         for i, np_batch in enumerate(loader):
-            imgs = normalize_images(jnp.asarray(np_batch["img"]), mean, std)
-            batch = shard_batch({"img": imgs, "depth": jnp.asarray(np_batch["depth"])},
-                                self.mesh)
+            # raw uint8 img + f16 depth transport; eval step normalizes
+            batch = shard_batch({
+                "img": np_batch["img"],
+                "depth": np_batch["depth"].astype(np.float16),
+            }, self.mesh)
             errs = self.eval_step(self.eval_params(), self.state.batch_stats, batch)
             for k, v in errs.items():
                 sums[k] = sums.get(k, 0.0) + float(v)

@@ -1,0 +1,130 @@
+"""Device-resident dataset (data/device_cache.py): HBM-cached packed split,
+on-device batch gathers, and exact batch parity with the host loader path.
+"""
+
+import numpy as np
+import pytest
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def packed_root(tmp_path_factory):
+    import imageio.v2 as imageio
+
+    from supervised_dispnet_tpu.data.packed import pack_split
+
+    root = tmp_path_factory.mktemp("dump_devcache")
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    for s in ("scene_a", "scene_b"):
+        d = root / s
+        d.mkdir()
+        np.savetxt(d / "cam.txt", K)
+        for i in range(8):
+            imageio.imwrite(d / f"{i:010d}.jpg",
+                            rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+            depth = (rng.uniform(1, 60, (H, W))
+                     * (rng.uniform(size=(H, W)) > 0.5)).astype(np.float32)
+            np.save(d / f"{i:010d}.npy", depth)
+    (root / "train.txt").write_text("scene_a\n")
+    (root / "val.txt").write_text("scene_b\n")
+    out = tmp_path_factory.mktemp("packed_devcache")
+    pack_split(root, out, "train")
+    pack_split(root, out, "val")
+    return out
+
+
+def test_index_batches_match_host_loader(packed_root):
+    """Same seed -> the index stream reproduces the exact batches of
+    BatchLoader(PackedSequenceDataset)."""
+    from supervised_dispnet_tpu.data.device_cache import DeviceResidentSequence
+    from supervised_dispnet_tpu.data.loader import BatchLoader
+    from supervised_dispnet_tpu.data.packed import PackedSequenceDataset
+
+    seed, B = 5, 2
+    cache = DeviceResidentSequence(packed_root, B, train=True,
+                                   sequence_length=1, with_depth=True,
+                                   seed=seed)
+    ds = PackedSequenceDataset(packed_root, seed=seed, train=True,
+                               sequence_length=1, with_depth=True, uint8=True)
+    host = BatchLoader(ds, B, shuffle=True, num_workers=1, seed=seed)
+    assert len(cache) == len(host)
+    imgs = np.asarray(cache.images)
+    depth = np.asarray(cache.depth)
+    K = np.asarray(cache.intrinsics)
+    for idx, hb in zip(cache, host):
+        np.testing.assert_array_equal(imgs[idx["tgt_idx"]], hb["tgt"])
+        np.testing.assert_array_equal(K[idx["scene_idx"]], hb["intrinsics"])
+        np.testing.assert_allclose(depth[idx["tgt_idx"]],
+                                   hb["depth"].astype(np.float16))
+    # second epoch reshuffles in lockstep too
+    for idx, hb in zip(cache, host):
+        np.testing.assert_array_equal(imgs[idx["tgt_idx"]], hb["tgt"])
+
+
+def test_snippet_ref_indices(packed_root):
+    from supervised_dispnet_tpu.data.device_cache import DeviceResidentSequence
+
+    cache = DeviceResidentSequence(packed_root, 2, train=True,
+                                   sequence_length=3, with_depth=False,
+                                   seed=0)
+    idx = next(iter(cache))
+    assert idx["ref_idx"].shape == (2, 2)
+    np.testing.assert_array_equal(idx["ref_idx"][:, 0], idx["tgt_idx"] - 1)
+    np.testing.assert_array_equal(idx["ref_idx"][:, 1], idx["tgt_idx"] + 1)
+
+
+def test_hbm_budget_guard(packed_root):
+    from supervised_dispnet_tpu.data.device_cache import DeviceResidentSequence
+
+    with pytest.raises(ValueError, match="budget"):
+        DeviceResidentSequence(packed_root, 2, train=True, sequence_length=1,
+                               with_depth=True, hbm_budget_bytes=1000)
+
+
+def test_trainer_device_loader_end_to_end(packed_root, tmp_path):
+    import jax
+
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        data=str(packed_root), save_path=str(tmp_path / "run"),
+        loss="l1", epochs=1, batch_size=2, img_height=H, img_width=W,
+        workers=1, epoch_size=3, loader="device",
+    )
+    trainer = Trainer(cfg, DispNetS(), mesh=make_mesh(jax.devices()[:1]))
+    best = trainer.fit()
+    assert np.isfinite(best)
+
+
+def test_device_loader_matches_threads_loader(packed_root, tmp_path):
+    """One epoch through loader='device' and loader='threads' produces the
+    same loss trajectory (same batches, same augment RNG stream)."""
+    import jax
+
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+    from supervised_dispnet_tpu.utils.logging import (
+        CsvLogger, JsonlLogger, TermLogger,
+    )
+
+    losses = {}
+    for loader in ("device", "threads"):
+        cfg = TrainerConfig(
+            data=str(packed_root), save_path=str(tmp_path / f"run_{loader}"),
+            loss="l1", epochs=1, batch_size=2, img_height=H, img_width=W,
+            workers=1, epoch_size=3, loader=loader, seed=7,
+        )
+        trainer = Trainer(cfg, DispNetS(), mesh=make_mesh(jax.devices()[:1]))
+        train_loader, _ = trainer.make_loaders()
+        logger = TermLogger(1, len(train_loader), 1)
+        logger.epoch_start(0)
+        csv = CsvLogger(tmp_path / f"run_{loader}")
+        jsonl = JsonlLogger(tmp_path / f"run_{loader}" / "m.jsonl")
+        losses[loader] = trainer.train_epoch(train_loader, logger, csv, jsonl)
+        jsonl.close()
+    np.testing.assert_allclose(losses["device"], losses["threads"], rtol=1e-5)
