@@ -94,6 +94,37 @@ def main() -> None:
     n_chips = max(1, jax.device_count())
     images_per_sec = BATCH * ITERS / dt / n_chips
 
+    # int8 PTQ serving path (ops/quant.py): same protocol; quality cost
+    # quantified in BASELINE.md (median disparity rel err 0.4%)
+    int8_images_per_sec = None
+    try:
+        from supervised_dispnet_tpu.ops.quant import (
+            calibrate_conv_ranges, quantized_apply,
+        )
+
+        ranges = calibrate_conv_ranges(model, variables, [x[:8]])
+
+        @jax.jit
+        def forward_q(variables, x, s):
+            out = quantized_apply(model, variables, x + s * 1e-30,
+                                  ranges=ranges)
+            return jnp.sum(out[0])
+
+        s = jnp.float32(0.0)
+        for _ in range(WARMUP):
+            s = forward_q(variables, x, s)
+        float(s)
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s = forward_q(variables, x, s)
+        float(s)
+        if jnp.isfinite(s):
+            int8_images_per_sec = BATCH * ITERS / (
+                time.perf_counter() - t0) / n_chips
+    except Exception:
+        pass  # int8 path is additive; never sink the headline metric
+
     result = {
         "metric": "kitti_inference_images_per_sec_per_chip",
         "value": round(images_per_sec, 2),
@@ -102,6 +133,10 @@ def main() -> None:
         "baseline_anchor": "torch-cpu measured 5.23 img/s (reference arch, "
                            "torch 2.13, 1 vCPU; benchmarks/torch_anchor.py)",
     }
+    if int8_images_per_sec:
+        result["int8_images_per_sec"] = round(int8_images_per_sec, 2)
+        result["int8_quality"] = ("disp rel err median 0.4% / p95 5.2% vs "
+                                  "fp32 (benchmarks/quant_bench.py)")
     if flops_per_call == flops_per_call:  # not NaN
         tflops_per_sec = flops_per_call * ITERS / dt / n_chips / 1e12
         result["model_tflops_per_sec"] = round(tflops_per_sec, 1)

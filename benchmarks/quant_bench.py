@@ -1,0 +1,117 @@
+"""int8 PTQ inference benchmark: DispResNet-50 at the eval resolution.
+
+Compares the bf16 serving forward against the int8-quantized one
+(ops/quant.py) under bench.py's serial-chain timing protocol, and reports
+the quantization quality cost as the relative disparity error vs fp32.
+
+Usage: python benchmarks/quant_bench.py [--batch 256] [--exempt-stem]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=25)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=416)
+    ap.add_argument("--network", default="disp_res_50")
+    ap.add_argument("--exempt-stem", action="store_true",
+                    help="keep the 7x7 Cin=3 stem conv un-quantized "
+                         "(C=3 int8 tiling probe)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.models import get_disp_net
+    from supervised_dispnet_tpu.models.common import apply_model
+    from supervised_dispnet_tpu.ops.quant import (
+        calibrate_conv_ranges, quantized_apply,
+    )
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    model = get_disp_net(args.network).clone(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (args.batch, args.height, args.width, 3),
+                           jnp.float32)
+    variables = model.init(rng, x)
+
+    exempt = None
+    if args.exempt_stem:
+        def exempt(m):  # noqa: E731 — predicate by kernel size
+            return tuple(m.kernel_size) == (7, 7)
+
+    calib = calibrate_conv_ranges(
+        model, variables, [x[:8]], exempt=exempt)
+    print(f"calibrated {len(calib)} convs", flush=True)
+
+    @jax.jit
+    def fwd_bf16(variables, x, s):
+        out = apply_model(model, variables, x + s * 1e-30)
+        return jnp.sum(out[0] if isinstance(out, (list, tuple)) else out)
+
+    @jax.jit
+    def fwd_int8(variables, x, s):
+        out = quantized_apply(model, variables, x + s * 1e-30,
+                              ranges=calib, exempt=exempt)
+        return jnp.sum(out[0] if isinstance(out, (list, tuple)) else out)
+
+    def bench(f):
+        s = jnp.float32(0.0)
+        for _ in range(3):
+            s = f(variables, x, s)
+        float(s)
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s = f(variables, x, s)
+        float(s)
+        return args.batch * args.iters / (time.perf_counter() - t0)
+
+    ips_bf16 = bench(fwd_bf16)
+    print(f"bf16: {ips_bf16:.0f} img/s", flush=True)
+    ips_int8 = bench(fwd_int8)
+    print(f"int8: {ips_int8:.0f} img/s ({ips_int8 / ips_bf16:.2f}x)",
+          flush=True)
+
+    # quality: relative disparity error vs the fp32 forward (fp32, not
+    # bf16, is the quality reference)
+    model32 = get_disp_net(args.network)
+    small = x[:16]
+    d_fp = np.asarray(apply_model(model32, variables, small)[0],
+                      dtype=np.float32)
+    d_q = np.asarray(
+        jax.jit(lambda v, xx: quantized_apply(
+            model32, v, xx, ranges=calib, exempt=exempt)[0]
+        )(variables, small), dtype=np.float32)
+    rel = np.abs(d_q - d_fp) / np.abs(d_fp)
+
+    print(json.dumps({
+        "metric": "int8_ptq_inference",
+        "value": round(float(ips_int8), 1),
+        "unit": f"images/sec ({args.network} int8 PTQ B={args.batch})",
+        "bf16_images_per_sec": round(float(ips_bf16), 1),
+        "speedup_vs_bf16": round(float(ips_int8 / ips_bf16), 3),
+        "disp_rel_err_median": round(float(np.median(rel)), 5),
+        "disp_rel_err_p95": round(float(np.percentile(rel, 95)), 5),
+        "disp_rel_err_max": round(float(rel.max()), 5),
+        "exempt_stem": bool(args.exempt_stem),
+    }))
+
+
+if __name__ == "__main__":
+    main()

