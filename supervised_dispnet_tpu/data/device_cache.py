@@ -45,6 +45,7 @@ class DeviceResidentSequence:
         shuffle: bool = True,
         epoch_size: int | None = None,
         hbm_budget_bytes: int = 10 * 1024**3,
+        mesh=None,
     ):
         # dataset-level shuffle ON with the same seed, so the sample order
         # (and therefore every batch's composition) matches the
@@ -75,13 +76,27 @@ class DeviceResidentSequence:
         import jax
 
         # one-time uploads (uint8 images; f16 depth — the train step's
-        # transport dtypes, converted to f32 on device per batch)
-        self.images = jax.device_put(np.asarray(imgs))
+        # transport dtypes, converted to f32 on device per batch).
+        # Multi-device mesh: the FRAME axis is sharded over the data axis
+        # (each chip holds 1/N of the dataset); the per-batch global
+        # gather under jit lets XLA insert the cross-chip collectives, and
+        # the batch composition stays bit-identical to the host path.
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from supervised_dispnet_tpu.parallel.mesh import DATA_AXIS
+
+            frames = NamedSharding(mesh, P(DATA_AXIS))
+            repl = NamedSharding(mesh, P())
+            put_frames = lambda a: jax.device_put(a, frames)  # noqa: E731
+            put_repl = lambda a: jax.device_put(a, repl)  # noqa: E731
+        else:
+            put_frames = put_repl = jax.device_put
+        self.images = put_frames(np.asarray(imgs))
         self.depth = None
         if with_depth and split.depth is not None:
-            self.depth = jax.device_put(
-                np.asarray(split.depth, dtype=np.float16))
-        self.intrinsics = jax.device_put(split.intrinsics)
+            self.depth = put_frames(np.asarray(split.depth, dtype=np.float16))
+        self.intrinsics = put_repl(split.intrinsics)
 
         samples = ds.samples  # [(scene, tgt, refs)]
         self._scene = np.asarray([s for s, _, _ in samples], np.int32)

@@ -346,7 +346,10 @@ class Trainer:
     def _make_device_loaders(self):
         """loader='device': the whole packed train split lives in HBM; the
         per-step 'batch' is a tiny index dict and the gather runs on device
-        inside the train-step program (data/device_cache.py)."""
+        inside the train-step program (data/device_cache.py). On a
+        multi-device mesh the dataset's frame axis is sharded over the
+        data axis and the batch gather compiles to XLA collectives over
+        ICI — batches stay bit-identical to the host loader path."""
         import functools
 
         import jax
@@ -363,10 +366,6 @@ class Trainer:
                 "loader='device' requires a packed dataset root — pack the "
                 "dump first: python -m supervised_dispnet_tpu.data.packed "
                 "<dump_root> <out_root>")
-        if self.mesh.size > 1:
-            raise NotImplementedError(
-                "loader='device' is single-device for now (a multi-chip "
-                "version would shard the cache over frames)")
 
         cache = DeviceResidentSequence(
             self.cfg.data, self.cfg.batch_size,
@@ -375,6 +374,7 @@ class Trainer:
             with_depth=not self.selfsup,
             seed=self.cfg.seed,
             epoch_size=self.cfg.epoch_size or None,
+            mesh=self.mesh,
         )
         self._device_data = {"images": cache.images,
                              "intrinsics": cache.intrinsics}
@@ -382,16 +382,31 @@ class Trainer:
             self._device_data["depth"] = cache.depth
         inner = self._make_train_step(donate=False)
 
+        multi = self.mesh.size > 1
+        if multi:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from supervised_dispnet_tpu.parallel.mesh import DATA_AXIS
+
+            def _constrain(x):
+                # gathered batch: leading (batch) axis sharded over data —
+                # XLA turns the frame-sharded gather into ICI collectives
+                spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, spec))
+        else:
+            _constrain = lambda x: x  # noqa: E731
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def device_step(state, data, idx):
             batch = {
-                "tgt": data["images"][idx["tgt_idx"]],
-                "intrinsics": data["intrinsics"][idx["scene_idx"]],
+                "tgt": _constrain(data["images"][idx["tgt_idx"]]),
+                "intrinsics": _constrain(data["intrinsics"][idx["scene_idx"]]),
             }
             if "ref_idx" in idx:
-                batch["ref_imgs"] = data["images"][idx["ref_idx"]]
+                batch["ref_imgs"] = _constrain(data["images"][idx["ref_idx"]])
             if "depth" in data:
-                batch["depth"] = data["depth"][idx["tgt_idx"]]
+                batch["depth"] = _constrain(data["depth"][idx["tgt_idx"]])
             return inner(state, batch)
 
         data = self._device_data

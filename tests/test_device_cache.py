@@ -100,6 +100,40 @@ def test_trainer_device_loader_end_to_end(packed_root, tmp_path):
     assert np.isfinite(best)
 
 
+def test_device_loader_8dev_mesh(packed_root, tmp_path):
+    """Multi-device device-resident cache: frames sharded over an 8-device
+    mesh, batch gathered via collectives — same loss trajectory as the
+    1-device cache (same batches by construction)."""
+    import jax
+
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+    from supervised_dispnet_tpu.utils.logging import (
+        CsvLogger, JsonlLogger, TermLogger,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    losses = {}
+    for tag, devs in (("dev8", jax.devices()), ("dev1", jax.devices()[:1])):
+        cfg = TrainerConfig(
+            data=str(packed_root), save_path=str(tmp_path / f"r_{tag}"),
+            loss="l1", epochs=1, batch_size=8, img_height=H, img_width=W,
+            workers=1, epoch_size=2, loader="device", seed=3,
+        )
+        trainer = Trainer(cfg, DispNetS(), mesh=make_mesh(devs))
+        train_loader, _ = trainer.make_loaders()
+        logger = TermLogger(1, len(train_loader), 1)
+        logger.epoch_start(0)
+        csv = CsvLogger(tmp_path / f"r_{tag}")
+        jsonl = JsonlLogger(tmp_path / f"r_{tag}" / "m.jsonl")
+        losses[tag] = trainer.train_epoch(train_loader, logger, csv, jsonl)
+        jsonl.close()
+    np.testing.assert_allclose(losses["dev8"], losses["dev1"], atol=1e-4)
+
+
 def test_device_loader_matches_threads_loader(packed_root, tmp_path):
     """One epoch through loader='device' and loader='threads' produces the
     same loss trajectory (same batches, same augment RNG stream)."""
