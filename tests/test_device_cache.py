@@ -100,6 +100,27 @@ def test_trainer_device_loader_end_to_end(packed_root, tmp_path):
     assert np.isfinite(best)
 
 
+def test_trainer_device_loader_selfsup(packed_root, tmp_path):
+    """Self-supervised training through loader='device' (snippet ref
+    frames gathered on device via ref_idx)."""
+    import jax
+
+    from supervised_dispnet_tpu.models import DispNetS, PoseExpNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        data=str(packed_root), save_path=str(tmp_path / "run_ss"),
+        loss="selfsup", epochs=1, batch_size=2, img_height=H, img_width=W,
+        workers=1, epoch_size=2, loader="device", sequence_length=3,
+    )
+    trainer = Trainer(cfg, DispNetS(),
+                      pose_model=PoseExpNet(nb_ref_imgs=2, output_exp=True),
+                      mesh=make_mesh(jax.devices()[:1]))
+    best = trainer.fit()
+    assert np.isfinite(best)
+
+
 def test_device_loader_8dev_mesh(packed_root, tmp_path):
     """Multi-device device-resident cache: frames sharded over an 8-device
     mesh, batch gathered via collectives — same loss trajectory as the
