@@ -42,7 +42,8 @@ def make_dump(root: Path, frames: int, H: int, W: int) -> None:
 
 
 def run_epochs(data_root: Path, batch: int, workers: int, network: str,
-               save: Path, loader: str = "threads") -> float:
+               save: Path, loader: str = "threads",
+               steps_per_dispatch: int = 1, bf16: bool = False) -> float:
     """Build a Trainer, run one warmup epoch (compile) + one timed epoch;
     return sustained images/sec of the timed epoch."""
     from supervised_dispnet_tpu.models import get_disp_net
@@ -54,7 +55,7 @@ def run_epochs(data_root: Path, batch: int, workers: int, network: str,
     cfg = TrainerConfig(
         data=str(data_root), save_path=str(save), loss="berhu",
         network=network, batch_size=batch, workers=workers, epochs=2,
-        loader=loader,
+        loader=loader, steps_per_dispatch=steps_per_dispatch, bf16=bf16,
     )
     trainer = Trainer(cfg, get_disp_net(network))
     train_loader, _ = trainer.make_loaders()
@@ -66,13 +67,14 @@ def run_epochs(data_root: Path, batch: int, workers: int, network: str,
     import jax
 
     jax.block_until_ready(trainer.state.params)
+    step_before = int(trainer.state.step)
     logger.epoch_start(1)
     t0 = time.perf_counter()
     trainer.train_epoch(train_loader, logger, csv, jsonl)
     jax.block_until_ready(trainer.state.params)
     dt = time.perf_counter() - t0
     jsonl.close()
-    n_imgs = len(train_loader) * batch
+    n_imgs = (int(trainer.state.step) - step_before) * batch
     return n_imgs / dt
 
 
@@ -84,6 +86,8 @@ def main() -> None:
     ap.add_argument("--network", default="disp_res_50")
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=416)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 trunk (the headline training config)")
     args = ap.parse_args()
 
     from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
@@ -103,22 +107,29 @@ def main() -> None:
         print(f"pack: {time.perf_counter() - t0:.1f}s one-off", flush=True)
 
         jpg_ips = run_epochs(root, args.batch, args.workers, args.network,
-                             Path(td) / "run_jpg")
+                             Path(td) / "run_jpg", bf16=args.bf16)
         print(f"jpeg-folder pipeline: {jpg_ips:.0f} img/s sustained", flush=True)
         packed_ips = run_epochs(packed, args.batch, args.workers, args.network,
-                                Path(td) / "run_packed")
+                                Path(td) / "run_packed", bf16=args.bf16)
         print(f"packed pipeline:      {packed_ips:.0f} img/s sustained", flush=True)
         device_ips = run_epochs(packed, args.batch, args.workers, args.network,
-                                Path(td) / "run_device", loader="device")
+                                Path(td) / "run_device", loader="device",
+                                bf16=args.bf16)
         print(f"device-resident:      {device_ips:.0f} img/s sustained", flush=True)
+        scan_ips = run_epochs(packed, args.batch, args.workers, args.network,
+                              Path(td) / "run_scan", loader="device",
+                              steps_per_dispatch=8, bf16=args.bf16)
+        print(f"device + scan(8):     {scan_ips:.0f} img/s sustained", flush=True)
 
         print(json.dumps({
             "metric": "sustained_epoch_images_per_sec",
             "value": {"jpeg": round(jpg_ips, 1), "packed": round(packed_ips, 1),
-                      "device": round(device_ips, 1)},
+                      "device": round(device_ips, 1),
+                      "device_scan8": round(scan_ips, 1)},
             "unit": f"images/sec (end-to-end epoch, {args.network} berhu "
                     f"B={args.batch}, host loader + device step; 'device' = "
-                    "HBM-resident dataset, on-device gathers)",
+                    "HBM-resident dataset, on-device gathers; 'device_scan8' "
+                    "= 8 steps per dispatch via lax.scan)",
         }))
 
 

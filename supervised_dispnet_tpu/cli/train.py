@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input pipeline backend; 'device' keeps the whole "
                         "packed train split in HBM and gathers batches on "
                         "device (requires a packed dataset root)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="loader='device' only: run this many train steps "
+                        "per device call via lax.scan (amortizes the host "
+                        "round trip; metrics become per-dispatch means)")
     p.add_argument("-f", "--training-output-freq", type=int, default=0,
                    help="log disp images to tensorboard every N iters")
     p.add_argument("--name", default="exp", help="experiment name")
@@ -169,6 +173,7 @@ def main(argv: list[str] | None = None) -> None:
         bf16=args.bf16,
         debug_nans=args.debug_nans,
         loader=args.loader,
+        steps_per_dispatch=args.steps_per_dispatch,
         training_output_freq=args.training_output_freq,
         resume=args.resume,
     )

@@ -46,6 +46,7 @@ class DeviceResidentSequence:
         epoch_size: int | None = None,
         hbm_budget_bytes: int = 10 * 1024**3,
         mesh=None,
+        steps_per_item: int = 1,
     ):
         # dataset-level shuffle ON with the same seed, so the sample order
         # (and therefore every batch's composition) matches the
@@ -60,8 +61,11 @@ class DeviceResidentSequence:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        self.steps_per_item = max(1, steps_per_item)
         n_batches = len(ds.samples) // batch_size
         self.epoch_size = min(epoch_size, n_batches) if epoch_size else n_batches
+        # with multi-step dispatch, an epoch is a whole number of items
+        self.epoch_size -= self.epoch_size % self.steps_per_item
 
         split = ds.split
         imgs = split.images
@@ -104,7 +108,16 @@ class DeviceResidentSequence:
         self._refs = np.asarray([r for _, _, r in samples], np.int32)
 
     def __len__(self) -> int:
-        return self.epoch_size
+        return self.epoch_size // self.steps_per_item
+
+    def _index_batch(self, sel) -> dict:
+        out = {
+            "tgt_idx": self._tgt[sel],
+            "scene_idx": self._scene[sel],
+        }
+        if self.sequence_length > 1:
+            out["ref_idx"] = self._refs[sel]
+        return out
 
     def __iter__(self):
         order = np.arange(len(self._tgt))
@@ -112,15 +125,17 @@ class DeviceResidentSequence:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
-        B = self.batch_size
-        for i in range(self.epoch_size):
-            sel = order[i * B:(i + 1) * B]
-            out = {
-                "tgt_idx": self._tgt[sel],
-                "scene_idx": self._scene[sel],
-            }
-            if self.sequence_length > 1:
-                out["ref_idx"] = self._refs[sel]
-            yield out
+        B, K = self.batch_size, self.steps_per_item
+        if K == 1:
+            for i in range(self.epoch_size):
+                yield self._index_batch(order[i * B:(i + 1) * B])
+            return
+        for i in range(self.epoch_size // K):
+            # (K, B[, R]) stacked index batches for one lax.scan dispatch
+            batches = [self._index_batch(order[(i * K + k) * B:
+                                               (i * K + k + 1) * B])
+                       for k in range(K)]
+            yield {key: np.stack([b[key] for b in batches])
+                   for key in batches[0]}
 
 

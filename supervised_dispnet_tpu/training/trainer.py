@@ -77,6 +77,10 @@ class TrainerConfig:
     resume: bool = False  # auto-resume from the latest checkpoint in
     #   save_path (exact: params + optimizer + PRNG + step)
     loader: str = "threads"  # 'threads' (BatchLoader) | 'grain' (multiprocess)
+    #   | 'device' (HBM-resident packed split, on-device gathers)
+    steps_per_dispatch: int = 1  # loader='device' only: lax.scan this many
+    #   train steps per device call (amortizes the host round trip; metrics
+    #   are then logged as per-dispatch means)
     bf16: bool = False  # bf16 trunk compute (params/heads stay fp32) — the
     #   configuration all headline TPU numbers use (BASELINE.md)
     # learning-rate schedule (extension: the reference trained at a fixed
@@ -171,6 +175,7 @@ class Trainer:
         self.lr_schedule = build_lr_schedule(cfg)
 
         self._device_data = None  # set when cfg.loader == 'device'
+        self._steps_per_call = 1  # >1 under device multi-step dispatch
         self.train_step = self._make_train_step(donate=True)
         self.eval_step = make_eval_step(
             disp_model, classification=self.classification, bins=self.bins,
@@ -367,6 +372,7 @@ class Trainer:
                 "dump first: python -m supervised_dispnet_tpu.data.packed "
                 "<dump_root> <out_root>")
 
+        K = max(1, self.cfg.steps_per_dispatch)
         cache = DeviceResidentSequence(
             self.cfg.data, self.cfg.batch_size,
             train=True,
@@ -375,6 +381,7 @@ class Trainer:
             seed=self.cfg.seed,
             epoch_size=self.cfg.epoch_size or None,
             mesh=self.mesh,
+            steps_per_item=K,
         )
         self._device_data = {"images": cache.images,
                              "intrinsics": cache.intrinsics}
@@ -397,8 +404,7 @@ class Trainer:
         else:
             _constrain = lambda x: x  # noqa: E731
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def device_step(state, data, idx):
+        def _gather(data, idx):
             batch = {
                 "tgt": _constrain(data["images"][idx["tgt_idx"]]),
                 "intrinsics": _constrain(data["intrinsics"][idx["scene_idx"]]),
@@ -407,9 +413,30 @@ class Trainer:
                 batch["ref_imgs"] = _constrain(data["images"][idx["ref_idx"]])
             if "depth" in data:
                 batch["depth"] = _constrain(data["depth"][idx["tgt_idx"]])
-            return inner(state, batch)
+            return batch
+
+        if K == 1:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def device_step(state, data, idx):
+                return inner(state, _gather(data, idx))
+        else:
+            # multi-step dispatch: lax.scan over K train steps in ONE
+            # device program — K batches of shuffle indices ride in with
+            # the call, so K-1 host round trips (the dominant cost on
+            # tunneled setups) disappear. Metrics come back per-step.
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def device_step(state, data, idxs):
+                def body(s, idx):
+                    s2, m = inner(s, _gather(data, idx))
+                    return s2, m
+
+                state, ms = jax.lax.scan(body, state, idxs)
+                import jax.numpy as jnp
+
+                return state, jax.tree_util.tree_map(jnp.mean, ms)
 
         data = self._device_data
+        self._steps_per_call = K
         self.train_step = lambda state, idx: device_step(state, data, idx)
 
         # validation stays on the (packed) host path — it runs once per
@@ -470,7 +497,8 @@ class Trainer:
             logger.train_update(
                 i, f"batch {t_batch} data {t_data} loss {meter}"
             )
-            jsonl.log(event="train_iter", step=step0 + i + 1, loss=loss)
+            jsonl.log(event="train_iter",
+                      step=step0 + (i + 1) * self._steps_per_call, loss=loss)
 
         pending = None
         for i, np_batch in enumerate(loader):
@@ -496,9 +524,10 @@ class Trainer:
         from supervised_dispnet_tpu.utils.viz import tensor2array
 
         if self._device_data is not None:
-            # device-resident mode: np_batch is an index dict — gather the
-            # first target frame from the HBM cache
-            img = np.asarray(self._device_data["images"][np_batch["tgt_idx"][:1]])
+            # device-resident mode: np_batch is an index dict (possibly
+            # (K, B)-stacked) — gather the first target frame from HBM
+            first = np_batch["tgt_idx"].reshape(-1)[:1]
+            img = np.asarray(self._device_data["images"][first])
         else:
             img = np_batch["tgt"][:1]
         if img.dtype == np.uint8:

@@ -121,6 +121,43 @@ def test_trainer_device_loader_selfsup(packed_root, tmp_path):
     assert np.isfinite(best)
 
 
+def test_multi_step_dispatch_matches_single(packed_root, tmp_path):
+    """steps_per_dispatch=2 (lax.scan over 2 steps per device call) ends
+    with the same params as step-at-a-time: same batches, same RNG
+    stream, same optimizer sequence."""
+    import jax
+
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+    from supervised_dispnet_tpu.utils.logging import (
+        CsvLogger, JsonlLogger, TermLogger,
+    )
+
+    params = {}
+    for k in (1, 2):
+        cfg = TrainerConfig(
+            data=str(packed_root), save_path=str(tmp_path / f"r_k{k}"),
+            loss="l1", epochs=1, batch_size=2, img_height=H, img_width=W,
+            workers=1, epoch_size=4, loader="device", seed=11,
+            steps_per_dispatch=k,
+        )
+        trainer = Trainer(cfg, DispNetS(), mesh=make_mesh(jax.devices()[:1]))
+        train_loader, _ = trainer.make_loaders()
+        assert len(train_loader) == 4 // k
+        logger = TermLogger(1, len(train_loader), 1)
+        logger.epoch_start(0)
+        csv = CsvLogger(tmp_path / f"r_k{k}")
+        jsonl = JsonlLogger(tmp_path / f"r_k{k}" / "m.jsonl")
+        trainer.train_epoch(train_loader, logger, csv, jsonl)
+        jsonl.close()
+        assert int(trainer.state.step) == 4
+        params[k] = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params[1]),
+                    jax.tree_util.tree_leaves(params[2])):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_device_loader_8dev_mesh(packed_root, tmp_path):
     """Multi-device device-resident cache: frames sharded over an 8-device
     mesh, batch gathered via collectives — same loss trajectory as the
