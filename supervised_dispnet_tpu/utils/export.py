@@ -22,14 +22,26 @@ def export_forward(
     batch_size: int = 1,
     img_height: int = 128,
     img_width: int = 416,
+    int8_ranges: dict | None = None,
 ) -> None:
-    """Serialize model.apply(variables, x)[finest] for fixed input shape."""
+    """Serialize model.apply(variables, x)[finest] for fixed input shape.
+
+    With ``int8_ranges`` (from ``ops.quant.calibrate_conv_ranges``), the
+    exported program runs the int8 PTQ path — the quantized weights and
+    scales are baked into the StableHLO artifact, so the serving process
+    needs neither the model code nor the calibration data.
+    """
     from jax import export as jax_export
 
     from supervised_dispnet_tpu.models.common import apply_model
 
     def forward(x):
-        out = apply_model(model, variables, x)
+        if int8_ranges is not None:
+            from supervised_dispnet_tpu.ops.quant import quantized_apply
+
+            out = quantized_apply(model, variables, x, ranges=int8_ranges)
+        else:
+            out = apply_model(model, variables, x)
         if isinstance(out, (list, tuple)):
             return out[0]
         return out

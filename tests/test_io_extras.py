@@ -55,6 +55,30 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_export_int8_roundtrip(tmp_path):
+    """int8 PTQ export: quantized weights/scales baked into the StableHLO
+    artifact; reload matches quantized_apply exactly."""
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.ops.quant import (
+        calibrate_conv_ranges, quantized_apply,
+    )
+    from supervised_dispnet_tpu.utils.export import export_forward, load_forward
+
+    model = DispNetS()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+
+    path = tmp_path / "dispnet_int8.stablehlo"
+    export_forward(model, variables, path, batch_size=1,
+                   img_height=H, img_width=W, int8_ranges=ranges)
+    fn = load_forward(path)
+    got = np.asarray(fn(x))
+    ref = np.asarray(quantized_apply(model, variables, x, ranges=ranges)[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_step_timer_and_steady_state():
     import time
 
