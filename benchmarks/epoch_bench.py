@@ -43,7 +43,8 @@ def make_dump(root: Path, frames: int, H: int, W: int) -> None:
 
 def run_epochs(data_root: Path, batch: int, workers: int, network: str,
                save: Path, loader: str = "threads",
-               steps_per_dispatch: int = 1, bf16: bool = False) -> float:
+               steps_per_dispatch: int = 1, bf16: bool = False,
+               selfsup: bool = False) -> float:
     """Build a Trainer, run one warmup epoch (compile) + one timed epoch;
     return sustained images/sec of the timed epoch."""
     from supervised_dispnet_tpu.models import get_disp_net
@@ -53,11 +54,18 @@ def run_epochs(data_root: Path, batch: int, workers: int, network: str,
     )
 
     cfg = TrainerConfig(
-        data=str(data_root), save_path=str(save), loss="berhu",
+        data=str(data_root), save_path=str(save),
+        loss="selfsup" if selfsup else "berhu",
         network=network, batch_size=batch, workers=workers, epochs=2,
         loader=loader, steps_per_dispatch=steps_per_dispatch, bf16=bf16,
     )
-    trainer = Trainer(cfg, get_disp_net(network))
+    pose_model = None
+    if selfsup:
+        from supervised_dispnet_tpu.models import PoseExpNet
+
+        pose_model = PoseExpNet(nb_ref_imgs=cfg.sequence_length - 1,
+                                output_exp=True)
+    trainer = Trainer(cfg, get_disp_net(network), pose_model=pose_model)
     train_loader, _ = trainer.make_loaders()
     logger = TermLogger(2, len(train_loader), 1)
     csv = CsvLogger(save)
@@ -88,7 +96,14 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=416)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 trunk (the headline training config)")
+    ap.add_argument("--mode", default="supervised",
+                    choices=["supervised", "selfsup"],
+                    help="selfsup: 3-frame snippets, DispNet+PoseExpNet, "
+                         "photometric loss (BASELINE config 5)")
     args = ap.parse_args()
+    selfsup = args.mode == "selfsup"
+    if selfsup and args.network == "disp_res_50":
+        args.network = "dispnet"  # the reference's self-sup pairing
 
     from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
 
@@ -107,18 +122,19 @@ def main() -> None:
         print(f"pack: {time.perf_counter() - t0:.1f}s one-off", flush=True)
 
         jpg_ips = run_epochs(root, args.batch, args.workers, args.network,
-                             Path(td) / "run_jpg", bf16=args.bf16)
+                             Path(td) / "run_jpg", bf16=args.bf16, selfsup=selfsup)
         print(f"jpeg-folder pipeline: {jpg_ips:.0f} img/s sustained", flush=True)
         packed_ips = run_epochs(packed, args.batch, args.workers, args.network,
-                                Path(td) / "run_packed", bf16=args.bf16)
+                                Path(td) / "run_packed", bf16=args.bf16, selfsup=selfsup)
         print(f"packed pipeline:      {packed_ips:.0f} img/s sustained", flush=True)
         device_ips = run_epochs(packed, args.batch, args.workers, args.network,
                                 Path(td) / "run_device", loader="device",
-                                bf16=args.bf16)
+                                bf16=args.bf16, selfsup=selfsup)
         print(f"device-resident:      {device_ips:.0f} img/s sustained", flush=True)
         scan_ips = run_epochs(packed, args.batch, args.workers, args.network,
                               Path(td) / "run_scan", loader="device",
-                              steps_per_dispatch=8, bf16=args.bf16)
+                              steps_per_dispatch=8, bf16=args.bf16,
+                              selfsup=selfsup)
         print(f"device + scan(8):     {scan_ips:.0f} img/s sustained", flush=True)
 
         print(json.dumps({
@@ -126,7 +142,8 @@ def main() -> None:
             "value": {"jpeg": round(jpg_ips, 1), "packed": round(packed_ips, 1),
                       "device": round(device_ips, 1),
                       "device_scan8": round(scan_ips, 1)},
-            "unit": f"images/sec (end-to-end epoch, {args.network} berhu "
+            "unit": f"images/sec (end-to-end epoch, {args.network} "
+                    f"{args.mode} "
                     f"B={args.batch}, host loader + device step; 'device' = "
                     "HBM-resident dataset, on-device gathers; 'device_scan8' "
                     "= 8 steps per dispatch via lax.scan)",

@@ -27,6 +27,12 @@ Scheme (standard symmetric PTQ):
 ConvTranspose upsamples are left unquantized in v1 (they are <8% of
 DispResNet-50 inference FLOPs; XLA lowers them as grad-convs where int8
 support is less settled).
+
+Model scope: validated on the sigmoid-bounded disparity nets (DispNetS,
+DispResNet-18/50, VGG-BN — median disparity rel err <2% on fixtures).
+FCRN predicts metric depth directly; per-tensor activation scales
+amplify through its up-projection stack (measured median rel err ~0.9 on
+random-init fixtures) — serve FCRN in fp/bf16.
 """
 
 from __future__ import annotations

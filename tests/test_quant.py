@@ -79,6 +79,30 @@ def test_degenerate_calibration_raises(dispnet_setup):
         calibrate_conv_ranges(model, variables, [zero])
 
 
+@pytest.mark.parametrize("name", ["disp_vgg_bn"])
+def test_other_variants_quantize(name):
+    """VGG-BN variant runs through the int8 path (ConvTranspose stages
+    stay fp by design). FCRN is excluded: its direct metric-depth head
+    amplifies per-tensor activation quant error (median rel err ~0.9 on
+    random-init fixtures) — use fp serving for FCRN (ops/quant.py docs)."""
+    from supervised_dispnet_tpu.models import get_disp_net
+    from supervised_dispnet_tpu.models.common import apply_model
+
+    model = get_disp_net(name)
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    assert len(ranges) > 5
+    out_fp = apply_model(model, variables, x)
+    out_q = jax.jit(lambda v, xx: quantized_apply(
+        model, v, xx, ranges=ranges))(variables, x)
+    fp = np.asarray(out_fp[0] if isinstance(out_fp, (list, tuple)) else out_fp)
+    q = np.asarray(out_q[0] if isinstance(out_q, (list, tuple)) else out_q)
+    rel = np.abs(q - fp) / np.maximum(np.abs(fp), 1e-6)
+    assert np.median(rel) < 0.05
+
+
 def test_dispresnet_bn_model_quantizes():
     model = DispResNet(encoder_depth=18)
     rng = jax.random.PRNGKey(1)
