@@ -100,7 +100,21 @@ def main(argv: list[str] | None = None) -> None:
 
         params = convert_pose_exp_net(load_torch_state_dict(ckpt), output_exp=False)
     else:
-        raise NotImplementedError("orbax posenet restore: pass the torch .pth.tar")
+        # orbax run dir from self-supervised training: raw restore (no
+        # optimizer template, so any-optimizer checkpoints load); the
+        # pose model's params live under the 'pose' key
+        from supervised_dispnet_tpu.utils.checkpoint import restore_raw
+
+        restored, _ = restore_raw(ckpt)
+        if "pose" not in restored["params"]:
+            raise ValueError(
+                f"{ckpt} has no pose-net params — was this run trained "
+                "with --loss selfsup?")
+        params = restored["params"]["pose"]
+        # a training checkpoint may carry the explainability decoder; the
+        # eval model (output_exp=False) simply never references it
+        params = {k: v for k, v in params.items()
+                  if not k.startswith(("upconv", "predict_mask"))}
 
     mean = IMAGENET_MEAN if args.imagenet_normalization else HALF_MEAN
     std = IMAGENET_STD if args.imagenet_normalization else HALF_STD

@@ -144,6 +144,56 @@ def test_test_pose_cli(tmp_path, capsys):
     assert np.isfinite(ate)
 
 
+def test_test_pose_cli_orbax(tmp_path, capsys):
+    """Pose eval CLI restoring the pose net from an orbax run dir written
+    by self-supervised training (kills the torch-only restriction)."""
+    import cv2
+    import jax.numpy as jnp
+    import optax
+
+    from supervised_dispnet_tpu.cli.test_pose import main
+    from supervised_dispnet_tpu.models import DispNetS, PoseExpNet
+    from supervised_dispnet_tpu.training import create_train_state
+    from supervised_dispnet_tpu.utils.checkpoint import save_checkpoint
+
+    H, W = 32, 104
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt0,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+    )
+    run_dir = tmp_path / "run"
+    save_checkpoint(run_dir, state, step=1)
+
+    seq_dir = tmp_path / "odom" / "sequences" / "09" / "image_2"
+    pose_dir = tmp_path / "odom" / "poses"
+    seq_dir.mkdir(parents=True)
+    pose_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n = 6
+    for i in range(n):
+        cv2.imwrite(str(seq_dir / f"{i:06d}.png"),
+                    rng.uniform(0, 255, (64, 208, 3)).astype(np.uint8))
+    poses = []
+    t = np.zeros(3)
+    for i in range(n):
+        poses.append(np.hstack([np.eye(3), t[:, None]]))
+        t = t + [1.0, 0.0, 0.1]
+    np.savetxt(pose_dir / "09.txt", np.stack(poses).reshape(n, 12))
+
+    main([
+        "--pretrained-posenet", str(run_dir),
+        "--dataset-dir", str(tmp_path / "odom"),
+        "--sequences", "09",
+        "--img-height", str(H), "--img-width", str(W),
+    ])
+    out = capsys.readouterr().out
+    assert "ATE" in out
+    assert np.isfinite(float(out.split("ATE")[1].split("+/-")[0]))
+
+
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     """cli/train.py main(): tiny dump -> 1 supervised epoch -> checkpoint."""
     import imageio.v2 as imageio
