@@ -72,6 +72,12 @@ def load_params(path: str, network: str, model, img_hw, head: str = "disp"):
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compile cache: first compiles through the remote
+    # tunnel take minutes; cached re-invocations are instant
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

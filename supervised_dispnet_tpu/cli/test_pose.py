@@ -77,6 +77,12 @@ def pose_vec_to_snippet(poses_vec: np.ndarray, rotation_mode: str) -> np.ndarray
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compile cache: first compiles through the remote
+    # tunnel take minutes; cached re-invocations are instant
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     import cv2
     import jax
     import jax.numpy as jnp

@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compile cache: first compiles through the remote
+    # tunnel take minutes; cached re-invocations are instant
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     from supervised_dispnet_tpu.models import PoseExpNet, get_disp_net
     from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
 
