@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--exempt-stem", action="store_true",
                     help="keep the 7x7 Cin=3 stem conv un-quantized "
                          "(C=3 int8 tiling probe)")
+    ap.add_argument("--percentile", type=float, default=None,
+                    help="calibrate to this percentile of |activation| "
+                         "instead of the max (e.g. 99.9)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +59,8 @@ def main() -> None:
             return tuple(m.kernel_size) == (7, 7)
 
     calib = calibrate_conv_ranges(
-        model, variables, [x[:8]], exempt=exempt)
+        model, variables, [x[:8]], exempt=exempt,
+        percentile=args.percentile)
     print(f"calibrated {len(calib)} convs", flush=True)
 
     @jax.jit
@@ -110,6 +114,7 @@ def main() -> None:
         "disp_rel_err_p95": round(float(np.percentile(rel, 95)), 5),
         "disp_rel_err_max": round(float(rel.max()), 5),
         "exempt_stem": bool(args.exempt_stem),
+        "percentile": args.percentile,
     }))
 
 

@@ -92,6 +92,7 @@ def calibrate_conv_ranges(
     variables,
     batches,
     exempt: Callable[[nn.Module], bool] | None = None,
+    percentile: float | None = None,
 ) -> dict[str, float]:
     """One-shot activation-range calibration.
 
@@ -100,7 +101,12 @@ def calibrate_conv_ranges(
     batch is ONE jitted device program (the stats ride out as outputs),
     so calibration costs a handful of forwards, not per-conv dispatches.
 
-    Returns {conv_path: float absmax} maximized over batches.
+    ``percentile`` (e.g. 99.9) clips the range to that percentile of
+    ``|input|`` instead of the absolute max — outlier channels (BN models)
+    stop dictating the scale, trading bounded clipping error for finer
+    resolution everywhere else.
+
+    Returns {conv_path: float range} maximized over batches.
     """
     def stats_forward(variables, x):
         local: dict[str, jax.Array] = {}
@@ -108,7 +114,9 @@ def calibrate_conv_ranges(
         def rec(next_fun, args, kwargs, context):
             if _is_quantizable(context.module, context.method_name, exempt):
                 p = _conv_path(context.module)
-                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                ax = jnp.abs(args[0].astype(jnp.float32))
+                a = (jnp.percentile(ax, percentile)
+                     if percentile is not None else jnp.max(ax))
                 local[p] = jnp.maximum(local[p], a) if p in local else a
             return next_fun(*args, **kwargs)
 

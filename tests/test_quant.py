@@ -72,6 +72,19 @@ def test_exempt_predicate(dispnet_setup):
     assert dropped and all("conv1" in p or "Conv_0" in p for p in dropped)
 
 
+def test_percentile_calibration(dispnet_setup):
+    """Percentile ranges are <= absmax ranges and still serve a close
+    forward."""
+    model, variables, x = dispnet_setup
+    r_max = calibrate_conv_ranges(model, variables, [x])
+    r_pct = calibrate_conv_ranges(model, variables, [x], percentile=99.0)
+    assert set(r_max) == set(r_pct)
+    assert all(r_pct[p] <= r_max[p] + 1e-6 for p in r_max)
+    fp = np.asarray(model.apply(variables, x)[0])
+    q = np.asarray(quantized_apply(model, variables, x, ranges=r_pct)[0])
+    assert np.median(np.abs(q - fp) / np.abs(fp)) < 0.05
+
+
 def test_degenerate_calibration_raises(dispnet_setup):
     model, variables, _ = dispnet_setup
     zero = jnp.zeros((1, H, W, 3), jnp.float32)
