@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="loader='device' only: run this many train steps "
                         "per device call via lax.scan (amortizes the host "
                         "round trip; metrics become per-dispatch means)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help=">1: gradient accumulation over k micro-batches "
+                        "(effective batch = k * batch-size, same HBM)")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help=">0: capture a jax.profiler trace of this many "
+                        "steady-state train steps into <run>/profile")
     p.add_argument("-f", "--training-output-freq", type=int, default=0,
                    help="log disp images to tensorboard every N iters")
     p.add_argument("--name", default="exp", help="experiment name")
@@ -180,6 +186,8 @@ def main(argv: list[str] | None = None) -> None:
         debug_nans=args.debug_nans,
         loader=args.loader,
         steps_per_dispatch=args.steps_per_dispatch,
+        profile_steps=args.profile_steps,
+        accum_steps=args.accum_steps,
         training_output_freq=args.training_output_freq,
         resume=args.resume,
     )

@@ -81,6 +81,11 @@ class TrainerConfig:
     steps_per_dispatch: int = 1  # loader='device' only: lax.scan this many
     #   train steps per device call (amortizes the host round trip; metrics
     #   are then logged as per-dispatch means)
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of this many
+    #   steady-state train steps (skips the compile step) into
+    #   <save_path>/profile — view with tensorboard or xprof
+    accum_steps: int = 1  # >1: gradient accumulation over k micro-batches
+    #   (optax.MultiSteps) — effective batch k*batch_size at constant HBM
     bf16: bool = False  # bf16 trunk compute (params/heads stay fp32) — the
     #   configuration all headline TPU numbers use (BASELINE.md)
     # learning-rate schedule (extension: the reference trained at a fixed
@@ -119,9 +124,16 @@ def build_lr_schedule(cfg: TrainerConfig):
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     lr = build_lr_schedule(cfg)
     if cfg.weight_decay > 0:
-        return optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
-                           weight_decay=cfg.weight_decay)
-    return optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+        tx = optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
+                         weight_decay=cfg.weight_decay)
+    else:
+        tx = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+    if cfg.accum_steps > 1:
+        # gradient accumulation: k micro-batches average into one optimizer
+        # update (effective batch = k * batch_size on the same HBM).
+        # NOTE lr-schedule/EMA steps still count micro-steps.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 def aug_config(cfg: TrainerConfig) -> AugmentConfig:
@@ -176,6 +188,7 @@ class Trainer:
 
         self._device_data = None  # set when cfg.loader == 'device'
         self._steps_per_call = 1  # >1 under device multi-step dispatch
+        self._profiled = False  # profile_steps trace captured yet?
         self.train_step = self._make_train_step(donate=True)
         self.eval_step = make_eval_step(
             disp_model, classification=self.classification, bins=self.bins,
@@ -500,11 +513,26 @@ class Trainer:
             jsonl.log(event="train_iter",
                       step=step0 + (i + 1) * self._steps_per_call, loss=loss)
 
+        prof = self.cfg.profile_steps
         pending = None
         for i, np_batch in enumerate(loader):
             t_data.update(time.time() - end)
+            if prof and not self._profiled and i == 1:
+                # steady-state trace: step 0 carries the compile
+                import jax as _jax
+
+                _jax.profiler.start_trace(
+                    str(Path(self.cfg.save_path) / "profile"))
             batch = self._prep_train_batch(np_batch)
             self.state, metrics = self.train_step(self.state, batch)
+            if prof and not self._profiled and i == prof:
+                import jax as _jax
+
+                _jax.block_until_ready(metrics["loss"])
+                _jax.profiler.stop_trace()
+                self._profiled = True
+                print(f"=> wrote jax.profiler trace "
+                      f"({prof} steps) to {self.cfg.save_path}/profile")
             if pending is not None:
                 consume(*pending)
             pending = (i, metrics)
