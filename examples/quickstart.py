@@ -96,6 +96,31 @@ def main() -> None:
     print(f"=> exported serving artifact: {artifact} "
           f"({artifact.stat().st_size // 1024} KiB)")
 
+    # deployment check: reload the artifact (needs NO model code) and
+    # verify it reproduces the in-process forward
+    import numpy as np
+
+    from supervised_dispnet_tpu.utils.export import load_forward
+
+    from supervised_dispnet_tpu.data.augment import normalize_images
+
+    served = load_forward(artifact)
+    x = val[0]["img"][None]
+    # the artifact takes the network-input tensor (normalized); Trainer
+    # .predict normalizes internally from [0, 1] images
+    xn = np.asarray(normalize_images(x, trainer.aug.mean, trainer.aug.std))
+    got = np.asarray(served(xn))
+    ref = np.asarray(trainer.predict(x))
+    # TPU convs multiply in bf16 by default and the standalone program
+    # tiles differently than the in-process one — per-pixel noise reaches
+    # ~2% through the sigmoid/1-over-x head, so check the distribution
+    rel = np.abs(got[..., 0] / ref - 1.0)
+    assert np.median(rel) < 0.01 and rel.max() < 0.05, (
+        f"served forward diverged: median {np.median(rel):.4f}, "
+        f"max {rel.max():.4f}")
+    print("=> served artifact reproduces the in-process forward "
+          f"(median rel diff {np.median(rel):.2e})")
+
 
 if __name__ == "__main__":
     main()
