@@ -68,6 +68,11 @@ class DeviceResidentSequence:
         self.epoch_size -= self.epoch_size % self.steps_per_item
 
         split = ds.split
+        if with_depth and split.depth is None:
+            raise FileNotFoundError(
+                f"{root}: packed train split has no GT depth — re-run "
+                "prepare_train_data with --with-depth before packing, or "
+                "train with --loss selfsup")
         imgs = split.images
         need = imgs.nbytes + (split.depth.shape[0] * split.depth.shape[1]
                               * split.depth.shape[2] * 2

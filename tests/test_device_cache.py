@@ -75,6 +75,29 @@ def test_snippet_ref_indices(packed_root):
     np.testing.assert_array_equal(idx["ref_idx"][:, 1], idx["tgt_idx"] + 1)
 
 
+def test_missing_depth_raises_early(tmp_path_factory):
+    import imageio.v2 as imageio
+
+    from supervised_dispnet_tpu.data.device_cache import DeviceResidentSequence
+    from supervised_dispnet_tpu.data.packed import pack_split
+
+    root = tmp_path_factory.mktemp("dump_nodepth")
+    d = root / "scene_a"
+    d.mkdir()
+    np.savetxt(d / "cam.txt", np.eye(3))
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        imageio.imwrite(d / f"{i:010d}.jpg",
+                        rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    (root / "train.txt").write_text("scene_a\n")
+    (root / "val.txt").write_text("scene_a\n")
+    out = tmp_path_factory.mktemp("packed_nodepth")
+    pack_split(root, out, "train")
+    with pytest.raises(FileNotFoundError, match="no GT depth"):
+        DeviceResidentSequence(out, 2, train=True, sequence_length=1,
+                               with_depth=True)
+
+
 def test_hbm_budget_guard(packed_root):
     from supervised_dispnet_tpu.data.device_cache import DeviceResidentSequence
 
