@@ -444,8 +444,6 @@ class Trainer:
                     return s2, m
 
                 state, ms = jax.lax.scan(body, state, idxs)
-                import jax.numpy as jnp
-
                 return state, jax.tree_util.tree_map(jnp.mean, ms)
 
         data = self._device_data
