@@ -122,8 +122,14 @@ def main() -> None:
         if jnp.isfinite(s):
             int8_images_per_sec = BATCH * ITERS / (
                 time.perf_counter() - t0) / n_chips
-    except Exception:
-        pass  # int8 path is additive; never sink the headline metric
+    except Exception as e:  # int8 path is additive; never sink the
+        # headline metric — but a silent regression would just drop the
+        # field from BENCH with no trace, so say what broke on stderr
+        import sys
+        import traceback
+
+        print(f"WARNING: int8 bench path failed: {e!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
 
     result = {
         "metric": "kitti_inference_images_per_sec_per_chip",

@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.int8 and args.network == "fcrn":
+        raise SystemExit(
+            "--int8 is not supported for --network fcrn: its metric-depth "
+            "head amplifies per-tensor quantization error (see ops/quant.py "
+            "docstring / BASELINE.md); serve FCRN in fp/bf16")
 
     # persistent XLA compile cache: first compiles through the remote
     # tunnel take minutes; cached re-invocations are instant
@@ -83,6 +88,10 @@ def main(argv: list[str] | None = None) -> None:
         f for ext in args.img_exts for f in src.glob(f"*.{ext}")
     )
     print(f"{len(files)} files to test")
+    if not files:
+        # exit before int8 calibration: an all-zeros dummy batch would
+        # produce degenerate activation ranges and a confusing error
+        return
 
     def _load(f):
         img = cv2.imread(str(f))[:, :, ::-1].astype(np.float32) / 255.0
@@ -95,8 +104,7 @@ def main(argv: list[str] | None = None) -> None:
             calibrate_conv_ranges, quantized_apply,
         )
 
-        calib_x = jnp.concatenate([_load(f) for f in files[:8]]) \
-            if files else jnp.zeros((1, args.img_height, args.img_width, 3))
+        calib_x = jnp.concatenate([_load(f) for f in files[:8]])
         ranges = calibrate_conv_ranges(model, variables, [calib_x])
         print(f"int8 PTQ: calibrated {len(ranges)} convs on "
               f"{calib_x.shape[0]} images")

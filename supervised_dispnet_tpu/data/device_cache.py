@@ -95,9 +95,21 @@ class DeviceResidentSequence:
 
             from supervised_dispnet_tpu.parallel.mesh import DATA_AXIS
 
+            n_data = mesh.shape[DATA_AXIS]
             frames = NamedSharding(mesh, P(DATA_AXIS))
             repl = NamedSharding(mesh, P())
-            put_frames = lambda a: jax.device_put(a, frames)  # noqa: E731
+
+            def put_frames(a):
+                # jax.device_put requires the sharded axis to divide evenly;
+                # real datasets have arbitrary frame counts, so pad the frame
+                # axis with zeros — the index tables only ever reference real
+                # frames, so padding is never gathered into a batch
+                pad = (-a.shape[0]) % n_data
+                if pad:
+                    a = np.concatenate(
+                        [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                return jax.device_put(a, frames)
+
             put_repl = lambda a: jax.device_put(a, repl)  # noqa: E731
         else:
             put_frames = put_repl = jax.device_put

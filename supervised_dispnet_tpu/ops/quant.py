@@ -82,6 +82,18 @@ def _is_quantizable(module: nn.Module, method_name: str,
         return False  # no grouped convs in this family; bail safely
     if module.features == 1:
         return False  # disparity heads stay fp
+    # Dilated convs (FCRN's input_dilation=2 unpool convs) stay fp:
+    # _int8_conv does not forward lhs/rhs dilation, so quantizing one
+    # would silently change the geometry, not just the precision.
+    def _dilated(d):
+        if d is None:
+            return False
+        if isinstance(d, int):
+            return d != 1
+        return any(v != 1 for v in d)
+
+    if _dilated(module.input_dilation) or _dilated(module.kernel_dilation):
+        return False
     if exempt is not None and exempt(module):
         return False
     return True

@@ -55,15 +55,28 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any = None
 
     def apply_gradients(self, grads, new_batch_stats, new_rng,
-                        ema_decay: float = 0.0):
+                        ema_decay: float = 0.0, accum_steps: int = 1):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if ema_decay and new_ema is not None:
-            new_ema = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                new_ema, new_params,
-            )
+            if accum_steps > 1:
+                # under gradient accumulation (optax.MultiSteps) only every
+                # k-th micro-step performs a real optimizer update; ticking
+                # EMA on the in-between micro-steps would compound the decay
+                # k times per update, silently changing the configured
+                # semantics when accumulation is toggled
+                is_update = (self.step + 1) % accum_steps == 0
+                new_ema = jax.tree.map(
+                    lambda e, p: jnp.where(
+                        is_update, ema_decay * e + (1.0 - ema_decay) * p, e),
+                    new_ema, new_params,
+                )
+            else:
+                new_ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    new_ema, new_params,
+                )
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -183,6 +196,7 @@ def make_supervised_train_step(
     donate: bool = True,
     use_pallas_losses: bool = False,
     ema_decay: float = 0.0,
+    accum_steps: int = 1,
 ):
     """Build the jitted supervised step: (state, batch) -> (state, metrics).
 
@@ -242,7 +256,7 @@ def make_supervised_train_step(
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(
             grads, {**state.batch_stats, "disp": new_bs}, rng,
-            ema_decay=ema_decay,
+            ema_decay=ema_decay, accum_steps=accum_steps,
         )
         metrics = {"loss": loss}
         return new_state, metrics
@@ -276,6 +290,7 @@ def make_selfsup_train_step(
     use_pallas_warp: bool = False,
     half_res_photo: bool = False,
     ema_decay: float = 0.0,
+    accum_steps: int = 1,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights). ``half_res_photo`` computes
@@ -328,7 +343,8 @@ def make_selfsup_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, aux["batch_stats"], rng,
-                                          ema_decay=ema_decay)
+                                          ema_decay=ema_decay,
+                                          accum_steps=accum_steps)
         metrics = {
             "loss": loss,
             "photo_loss": aux["photo_loss"],

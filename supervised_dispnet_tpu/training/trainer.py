@@ -131,7 +131,10 @@ def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     if cfg.accum_steps > 1:
         # gradient accumulation: k micro-batches average into one optimizer
         # update (effective batch = k * batch_size on the same HBM).
-        # NOTE lr-schedule/EMA steps still count micro-steps.
+        # Schedules are expressed in optimizer UPDATES: MultiSteps calls the
+        # inner adam (and its schedule) once per k micro-steps, so toggling
+        # accumulation does not change the effective lr trajectory; EMA is
+        # likewise ticked only on real updates (train_step.apply_gradients).
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
 
@@ -238,6 +241,7 @@ class Trainer:
                 use_pallas_warp=cfg.use_pallas_warp,
                 half_res_photo=cfg.half_res_photo,
                 ema_decay=cfg.ema_decay,
+                accum_steps=cfg.accum_steps,
                 donate=donate,
             )
         return make_supervised_train_step(
@@ -245,6 +249,7 @@ class Trainer:
             max_depth=cfg.max_depth, mesh=self.mesh,
             use_pallas_losses=cfg.use_pallas_losses,
             ema_decay=cfg.ema_decay,
+            accum_steps=cfg.accum_steps,
             donate=donate,
         )
 
@@ -511,23 +516,29 @@ class Trainer:
             jsonl.log(event="train_iter",
                       step=step0 + (i + 1) * self._steps_per_call, loss=loss)
 
-        prof = self.cfg.profile_steps
+        # clamp the trace window to the epoch: shorter epochs would
+        # otherwise start a trace and never stop it (the next epoch's
+        # start_trace then raises mid-training)
+        prof = min(self.cfg.profile_steps, len(loader) - 1)
+        tracing = False
         pending = None
         for i, np_batch in enumerate(loader):
             t_data.update(time.time() - end)
-            if prof and not self._profiled and i == 1:
+            if prof > 0 and not self._profiled and i == 1:
                 # steady-state trace: step 0 carries the compile
                 import jax as _jax
 
                 _jax.profiler.start_trace(
                     str(Path(self.cfg.save_path) / "profile"))
+                tracing = True
             batch = self._prep_train_batch(np_batch)
             self.state, metrics = self.train_step(self.state, batch)
-            if prof and not self._profiled and i == prof:
+            if tracing and i == prof:
                 import jax as _jax
 
                 _jax.block_until_ready(metrics["loss"])
                 _jax.profiler.stop_trace()
+                tracing = False
                 self._profiled = True
                 print(f"=> wrote jax.profiler trace "
                       f"({prof} steps) to {self.cfg.save_path}/profile")
@@ -539,6 +550,11 @@ class Trainer:
             freq = self.cfg.training_output_freq
             if self.tb is not None and freq and i % freq == 0:
                 self._log_images(np_batch, step0 + i + 1)
+        if tracing:
+            import jax as _jax
+
+            _jax.profiler.stop_trace()
+            self._profiled = True
         if pending is not None:
             consume(*pending)
         return meter.avg[0]
@@ -676,7 +692,10 @@ class Trainer:
             logger.print_result(
                 "val: " + ", ".join(f"{k}={v:.4f}" for k, v in errors.items())
             )
-            lr_now = float(self.lr_schedule(int(self.state.step)))
+            # state.step counts micro-steps; the schedule ticks once per
+            # optimizer update (= accum_steps micro-steps)
+            lr_now = float(self.lr_schedule(
+                int(self.state.step) // max(1, cfg.accum_steps)))
             jsonl.log(event="epoch", epoch=epoch, train_loss=train_loss,
                       lr=lr_now, **errors)
             csv.write_summary([train_loss, errors.get(sel_key, 0.0)])

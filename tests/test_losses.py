@@ -172,3 +172,39 @@ def test_multiscale_supervised_loss_runs():
     out = float(multiscale_supervised_loss(
         preds, jnp.asarray(gt), jnp.asarray(mask), l1_loss))
     assert np.isfinite(out) and out > 0
+
+
+def test_soft_decode_golden_all_spacings():
+    """Pin the soft-weighted-sum decode against independently computed
+    numpy centers for every bin spacing (round-3: previously only the
+    default log spacing had a decode test)."""
+    K = 8
+    lo, hi = 2.0, 40.0
+    edges = {
+        "linear": np.linspace(lo, hi, K + 1),
+        "log": np.exp(np.linspace(np.log(lo), np.log(hi), K + 1)),
+        "inverse": 1.0 / np.linspace(1.0 / hi, 1.0 / lo, K + 1)[::-1],
+    }
+    centers = {
+        "linear": 0.5 * (edges["linear"][:-1] + edges["linear"][1:]),
+        # log spacing uses the geometric midpoint
+        "log": np.sqrt(edges["log"][:-1] * edges["log"][1:]),
+        "inverse": 0.5 * (edges["inverse"][:-1] + edges["inverse"][1:]),
+    }
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((2, 3, 4, K)).astype(np.float32)
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    p = e / e.sum(axis=-1, keepdims=True)
+    for spacing in ("linear", "log", "inverse"):
+        bins = DepthBins(num_bins=K, min_depth=lo, max_depth=hi,
+                         spacing=spacing)
+        want = (p * centers[spacing]).sum(axis=-1)
+        got = np.asarray(logits_to_depth(jnp.asarray(logits), bins))
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=f"spacing={spacing}")
+        # and a one-hot delta decodes to that bin's center exactly
+        hot = np.full((1, 1, 1, K), -30.0, np.float32)
+        hot[..., 3] = 30.0
+        np.testing.assert_allclose(
+            np.asarray(logits_to_depth(jnp.asarray(hot), bins)),
+            centers[spacing][3], rtol=1e-4, err_msg=f"spacing={spacing}")

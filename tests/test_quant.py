@@ -129,3 +129,24 @@ def test_dispresnet_bn_model_quantizes():
     )(variables, x)[0])
     rel = np.abs(q - fp) / np.abs(fp)
     assert np.median(rel) < 0.05
+
+
+def test_dilated_convs_excluded():
+    """FCRN's input-dilated unpool convs must stay fp: _int8_conv does not
+    forward dilation, so quantizing one would change the conv's geometry
+    (ADVICE r2 medium). Calibration must skip them entirely."""
+    from supervised_dispnet_tpu.models import FCRN
+
+    model = FCRN(encoder_depth=18) if hasattr(FCRN, "encoder_depth") else FCRN()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    dilated = [p for p in ranges
+               if p.split("/")[-1] in ("conv_a", "conv_b")
+               and "/up" in "/" + p]
+    assert dilated == [], f"dilated unpool convs were calibrated: {dilated}"
+    # the quantized forward still runs and stays close to fp32
+    fp = model.apply(variables, x, train=False)
+    q = quantized_apply(model, variables, x, ranges=ranges)
+    assert np.asarray(q).shape == np.asarray(fp).shape

@@ -208,3 +208,72 @@ def test_trainer_eval_params_prefers_ema():
     b = jax.tree_util.tree_leaves(trainer.state.params)
     assert any(float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
                for x, y in zip(a, b))
+
+
+# ---------------------------------------------------------------------------
+# accumulation semantics: schedules/EMA tick per optimizer UPDATE, not per
+# micro-step (round-3 fix: toggling accum_steps must not change the
+# effective lr trajectory or compound the EMA decay k times per update)
+# ---------------------------------------------------------------------------
+
+def test_schedule_ticks_per_update_under_accum():
+    """With accum_steps=2 and a staircase schedule of period 2 updates,
+    4 micro-steps = 2 real updates, both inside the first lr period —
+    the schedule must NOT have decayed (which it would if it ticked per
+    micro-step)."""
+    cfg = TrainerConfig(lr=1e-3, lr_schedule="step", lr_decay_steps=2,
+                        lr_decay_rate=0.01, accum_steps=2)
+    tx = build_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.full((4,), 0.7)}
+    sizes = []
+    for _ in range(4):
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        sizes.append(float(jnp.abs(updates["w"]).max()))
+    # micro-steps 0, 2 emit zero updates; 1, 3 are real updates at inner
+    # schedule steps 0 and 1 — both still at the base lr
+    assert sizes[0] == 0.0 and sizes[2] == 0.0
+    assert sizes[1] == pytest.approx(1e-3, rel=0.2)
+    assert sizes[3] == pytest.approx(1e-3, rel=0.2)
+    # sanity: without accumulation the same 4 steps span 2 periods
+    cfg1 = TrainerConfig(lr=1e-3, lr_schedule="step", lr_decay_steps=2,
+                         lr_decay_rate=0.01)
+    tx1 = build_optimizer(cfg1)
+    p1 = {"w": jnp.ones((4,))}
+    s1 = tx1.init(p1)
+    last = None
+    for _ in range(4):
+        updates, s1 = tx1.update(g, s1, p1)
+        p1 = optax.apply_updates(p1, updates)
+        last = float(jnp.abs(updates["w"]).max())
+    assert last == pytest.approx(1e-5, rel=0.2)
+
+
+def test_ema_ticks_per_update_under_accum():
+    """With accum_steps=2, the EMA shadow blends once per real optimizer
+    update (every 2nd micro-step), not once per micro-step."""
+    d = 0.5
+    k = 2
+    model = DispNetS()
+    tx = optax.MultiSteps(optax.adam(1e-2), every_k_schedule=k)
+    state = create_train_state(model, (jnp.zeros((1, H, W, 3)),), tx,
+                               seed=0, ema=True)
+    step = make_supervised_train_step(model, "l1", aug=NO_AUG, donate=False,
+                                      ema_decay=d, accum_steps=k)
+    batch = _sup_batch(seed=3)
+    ema_ref = state.params
+    for micro in range(4):
+        state, _ = step(state, batch)
+        if (micro + 1) % k == 0:  # real update boundary
+            ema_ref = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                                   ema_ref, state.params)
+        else:
+            # no real update: live params unchanged AND shadow untouched
+            for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                            jax.tree_util.tree_leaves(ema_ref)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(ema_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
