@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--network", default="disp_res_50")
     ap.add_argument("--loss", default="berhu")
     ap.add_argument("--half-res-photo", action="store_true")
+    ap.add_argument("--bf16-grads", action="store_true",
+                    help="cast gradients to bf16 before Adam (precision "
+                         "probe — VERDICT r2 item 6)")
+    ap.add_argument("--bf16-opt-state", action="store_true",
+                    help="store Adam's first moment in bf16 (mu_dtype)")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +52,14 @@ def main() -> None:
         make_supervised_train_step,
     )
 
+    from supervised_dispnet_tpu.training.trainer import (
+        TrainerConfig, build_optimizer,
+    )
+
+    tx = build_optimizer(TrainerConfig(
+        lr=1e-4, bf16_grads=args.bf16_grads,
+        bf16_opt_state=args.bf16_opt_state))
+
     H, W, B = 128, 416, args.batch
     rng = np.random.default_rng(0)
     K = np.broadcast_to(
@@ -60,7 +73,7 @@ def main() -> None:
                              if args.loss == "classification" else "disp")
         if hasattr(model, "dtype"):
             model = model.clone(dtype=jnp.bfloat16)
-        state = create_train_state(model, (tgt0,), optax.adam(1e-4))
+        state = create_train_state(model, (tgt0,), tx)
         step = make_supervised_train_step(model, args.loss, donate=False)
         depth = rng.uniform(1, 60, (B, H, W)).astype(np.float32)
         depth *= rng.uniform(size=(B, H, W)) > 0.5
@@ -75,7 +88,7 @@ def main() -> None:
             model = model.clone(dtype=jnp.bfloat16)
         pose = PoseExpNet(nb_ref_imgs=2, output_exp=True, dtype=jnp.bfloat16)
         state = create_train_state(
-            model, (tgt0,), optax.adam(1e-4),
+            model, (tgt0,), tx,
             extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
         )
         step = make_selfsup_train_step(model, pose, nb_ref_imgs=2, donate=False,
@@ -101,6 +114,8 @@ def main() -> None:
         "unit": "images/sec/chip",
         "ms_per_step": round(dt / args.iters * 1000, 2),
         "batch": B,
+        "bf16_grads": args.bf16_grads,
+        "bf16_opt_state": args.bf16_opt_state,
     }))
 
 

@@ -96,6 +96,11 @@ class TrainerConfig:
     lr_decay_rate: float = 0.5  # step schedule decay factor per period
     ema_decay: float = 0.0  # >0 keeps an EMA shadow of params and
     #   validates/evaluates with it (0 = off, reference behavior)
+    bf16_grads: bool = False  # cast gradients to bf16 before the optimizer
+    #   (halves the grad pytree's HBM footprint/traffic; quality probe —
+    #   convergence parity measured in BASELINE.md)
+    bf16_opt_state: bool = False  # store Adam's first moment in bf16
+    #   (optax mu_dtype; halves that slice of optimizer-state HBM)
 
 
 def build_lr_schedule(cfg: TrainerConfig):
@@ -123,11 +128,25 @@ def build_lr_schedule(cfg: TrainerConfig):
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     lr = build_lr_schedule(cfg)
+    mu_dtype = jnp.bfloat16 if cfg.bf16_opt_state else None
     if cfg.weight_decay > 0:
         tx = optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
-                         weight_decay=cfg.weight_decay)
+                         weight_decay=cfg.weight_decay, mu_dtype=mu_dtype)
     else:
-        tx = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+        tx = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2, mu_dtype=mu_dtype)
+    if cfg.bf16_grads:
+        # cast incoming gradients to bf16 (then Adam runs in its own
+        # precision): a measured precision probe, off by default
+        def _cast(updates, state, params=None):
+            del params
+            return jax.tree.map(
+                lambda g: g.astype(jnp.bfloat16).astype(g.dtype), updates
+            ), state
+
+        tx = optax.chain(
+            optax.GradientTransformation(lambda p: optax.EmptyState(), _cast),
+            tx,
+        )
     if cfg.accum_steps > 1:
         # gradient accumulation: k micro-batches average into one optimizer
         # update (effective batch = k * batch_size on the same HBM).
@@ -589,7 +608,10 @@ class Trainer:
             raise RuntimeError(
                 "no GT depth dumps found and not in self-supervised mode — "
                 "re-run prepare_train_data with --with-depth")
-        sums: dict[str, float] = {}
+        # metric sums accumulate ON DEVICE (async dispatch); the host reads
+        # back once per epoch instead of paying a tunnel RTT per batch per
+        # metric (round-3: matches the train loop's lagged readback)
+        sums: dict = {}
         n = 0
         for i, np_batch in enumerate(loader):
             # raw uint8 transport; the eval step converts + normalizes
@@ -601,14 +623,16 @@ class Trainer:
             out = self.selfsup_eval_step(
                 self.eval_params(), self.state.batch_stats, batch)
             for k, v in out.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums[k] = sums[k] + v if k in sums else v
             n += 1
             logger.valid_update(i)
-        return {k: v / max(n, 1) for k, v in sums.items()}
+        return {k: float(v) / max(n, 1) for k, v in sums.items()}
 
     def validate(self, loader, logger: TermLogger):
         """validate_with_gt (reference: ``train.py::validate_with_gt``)."""
-        sums: dict[str, float] = {}
+        # device-side accumulation, single end-of-epoch readback (see
+        # validate_without_gt)
+        sums: dict = {}
         n = 0
         for i, np_batch in enumerate(loader):
             # raw uint8 img + f16 depth transport; eval step normalizes
@@ -618,10 +642,10 @@ class Trainer:
             }, self.mesh)
             errs = self.eval_step(self.eval_params(), self.state.batch_stats, batch)
             for k, v in errs.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums[k] = sums[k] + v if k in sums else v
             n += 1
             logger.valid_update(i)
-        return {k: v / max(n, 1) for k, v in sums.items()}
+        return {k: float(v) / max(n, 1) for k, v in sums.items()}
 
     def _trainer_meta_path(self) -> Path:
         return Path(self.cfg.save_path) / "trainer_meta.json"

@@ -277,3 +277,20 @@ def test_ema_ticks_per_update_under_accum():
     for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
                     jax.tree_util.tree_leaves(ema_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_grads_and_opt_state_flags():
+    """Precision probes (VERDICT r2 item 6): bf16 grad cast and bf16 Adam
+    first moment must build, step, and store mu in bf16."""
+    cfg = TrainerConfig(lr=1e-3, bf16_grads=True, bf16_opt_state=True)
+    tx = build_optimizer(cfg)
+    params = {"w": jnp.ones((8,), jnp.float32)}
+    opt_state = tx.init(params)
+    g = {"w": jnp.full((8,), 0.37, jnp.float32)}
+    updates, opt_state = tx.update(g, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(new["w"])).all()
+    assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+    mu_dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(opt_state)
+                 if hasattr(x, "dtype") and x.ndim > 0}
+    assert "bfloat16" in mu_dtypes, mu_dtypes
