@@ -141,8 +141,9 @@ def main() -> None:
     }
     if int8_images_per_sec:
         result["int8_images_per_sec"] = round(int8_images_per_sec, 2)
-        result["int8_quality"] = ("disp rel err median 0.4% / p95 5.2% vs "
-                                  "fp32 (benchmarks/quant_bench.py)")
+        result["int8_quality"] = ("disp rel err median 0.41% / p95 5.0% vs "
+                                  "fp32 (benchmarks/quant_bench.py, round-3 "
+                                  "int8-through encoder chain)")
     if flops_per_call == flops_per_call:  # not NaN
         tflops_per_sec = flops_per_call * ITERS / dt / n_chips / 1e12
         result["model_tflops_per_sec"] = round(tflops_per_sec, 1)

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--percentile", type=float, default=None,
                     help="calibrate to this percentile of |activation| "
                          "instead of the max (e.g. 99.9)")
+    ap.add_argument("--checkpoint", default=None, metavar="DIR",
+                    help="orbax checkpoint (e.g. convergence_check --save) "
+                         "— measure quantization quality on TRAINED "
+                         "weights instead of random init (trained BN "
+                         "outliers are what per-tensor scales clip)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +56,17 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (args.batch, args.height, args.width, 3),
                            jnp.float32)
-    variables = model.init(rng, x)
+    if args.checkpoint:
+        from supervised_dispnet_tpu.utils.checkpoint import restore_raw
+
+        restored, _ = restore_raw(Path(args.checkpoint))
+        variables = {"params": restored["params"]["disp"]}
+        bs = restored.get("batch_stats", {}).get("disp", {})
+        if bs:
+            variables["batch_stats"] = bs
+        print(f"loaded trained weights from {args.checkpoint}", flush=True)
+    else:
+        variables = model.init(rng, x)
 
     exempt = None
     if args.exempt_stem:

@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per device dispatch (tail padded to a "
                         "static shape)")
+    p.add_argument("--calib-batches", type=int, default=1,
+                   help="--int8: calibrate activation ranges on this many "
+                        "8-image batches from the folder head (more "
+                        "batches widen the observed ranges)")
+    p.add_argument("--percentile", type=float, default=None,
+                   help="--int8: calibrate to this percentile of "
+                        "|activation| instead of the max (e.g. 99.9)")
     return p
 
 
@@ -104,10 +111,13 @@ def main(argv: list[str] | None = None) -> None:
             calibrate_conv_ranges, quantized_apply,
         )
 
-        calib_x = jnp.concatenate([_load(f) for f in files[:8]])
-        ranges = calibrate_conv_ranges(model, variables, [calib_x])
-        print(f"int8 PTQ: calibrated {len(ranges)} convs on "
-              f"{calib_x.shape[0]} images")
+        n_calib = 8 * max(1, args.calib_batches)
+        calib = [jnp.concatenate([_load(f) for f in files[c:c + 8]])
+                 for c in range(0, min(n_calib, len(files)), 8)]
+        ranges = calibrate_conv_ranges(model, variables, calib,
+                                       percentile=args.percentile)
+        print(f"int8 PTQ: calibrated {len(ranges)} ranges on "
+              f"{sum(c.shape[0] for c in calib)} images")
 
         @jax.jit
         def forward(x):

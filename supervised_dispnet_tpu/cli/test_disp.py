@@ -44,8 +44,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None, help="dump predicted depth .npy")
     p.add_argument("--int8", action="store_true",
                    help="int8 PTQ serving path (ops/quant.py), calibrated "
-                        "on the first eval batch; reports the same metric "
-                        "table at 1.1-1.2x throughput")
+                        "lazily on the first eval batches; reports the "
+                        "same metric table at higher throughput")
+    p.add_argument("--calib-batches", type=int, default=1,
+                   help="--int8: number of leading eval batches to "
+                        "calibrate activation ranges on (first-batch-only "
+                        "calibration is a silent quality dependency; more "
+                        "batches widen the observed ranges)")
+    p.add_argument("--percentile", type=float, default=None,
+                   help="--int8: calibrate to this percentile of "
+                        "|activation| instead of the max (e.g. 99.9; "
+                        "tames BN outlier channels on trained models)")
     return p
 
 
@@ -131,15 +140,24 @@ def main(argv: list[str] | None = None) -> None:
             calibrate_conv_ranges, quantized_apply,
         )
 
-        _q: dict = {"fn": None}
+        _q: dict = {"fn": None, "calib": []}
 
         def forward(x):
-            # calibrate lazily on the first eval batch, then serve int8
+            # calibrate lazily on the first --calib-batches eval batches
+            # (serving them in fp), then serve int8 for the rest
             if _q["fn"] is None:
-                ranges = calibrate_conv_ranges(model, variables, [x])
-                print(f"int8 PTQ: calibrated {len(ranges)} convs")
-                _q["fn"] = jax.jit(lambda xx: _to_depth(
-                    quantized_apply(model, variables, xx, ranges=ranges)))
+                _q["calib"].append(x)
+                if len(_q["calib"]) >= max(1, args.calib_batches):
+                    ranges = calibrate_conv_ranges(
+                        model, variables, _q["calib"],
+                        percentile=args.percentile)
+                    print(f"int8 PTQ: calibrated {len(ranges)} ranges on "
+                          f"{len(_q['calib'])} batches")
+                    _q["calib"].clear()
+                    _q["fn"] = jax.jit(lambda xx: _to_depth(
+                        quantized_apply(model, variables, xx, ranges=ranges)))
+                    return _q["fn"](x)
+                return _fp_forward(x)
             return _q["fn"](x)
     else:
         forward = _fp_forward

@@ -28,6 +28,13 @@ ConvTranspose upsamples are left unquantized in v1 (they are <8% of
 DispResNet-50 inference FLOPs; XLA lowers them as grad-convs where int8
 support is less settled).
 
+Round 3 adds the **int8-through encoder chain**: when the calibration
+carries per-block output ranges, ResNet encoders run int8-in/int8-out end
+to end (``_int8_chain_encoder``) — activations exist in HBM only as int8
+between blocks, which is where the per-conv scheme was losing its
+bandwidth win (measured 23.3 GB/step accessed vs bf16's 24.5; see
+BASELINE.md round-3 int8 section).
+
 Model scope: validated on the sigmoid-bounded disparity nets (DispNetS,
 DispResNet-18/50, VGG-BN — median disparity rel err <2% on fixtures).
 FCRN predicts metric depth directly; per-tensor activation scales
@@ -99,6 +106,12 @@ def _is_quantizable(module: nn.Module, method_name: str,
     return True
 
 
+def _is_res_block(module: nn.Module) -> bool:
+    from supervised_dispnet_tpu.models.resnet import BasicBlock, Bottleneck
+
+    return type(module) in (BasicBlock, Bottleneck)
+
+
 def calibrate_conv_ranges(
     model,
     variables,
@@ -113,6 +126,11 @@ def calibrate_conv_ranges(
     batch is ONE jitted device program (the stats ride out as outputs),
     so calibration costs a handful of forwards, not per-conv dispatches.
 
+    Also records ``max|output|`` of every ResNet block under the key
+    ``<block_path>::out`` — the int8-through encoder chain
+    (``_int8_chain_encoder``) requantizes each block's output with its own
+    calibrated range so activations stay int8 in HBM between blocks.
+
     ``percentile`` (e.g. 99.9) clips the range to that percentile of
     ``|input|`` instead of the absolute max — outlier channels (BN models)
     stop dictating the scale, trading bounded clipping error for finer
@@ -120,17 +138,26 @@ def calibrate_conv_ranges(
 
     Returns {conv_path: float range} maximized over batches.
     """
+    def _reduce(ax):
+        return (jnp.percentile(ax, percentile)
+                if percentile is not None else jnp.max(ax))
+
     def stats_forward(variables, x):
         local: dict[str, jax.Array] = {}
 
+        def put(p, a):
+            local[p] = jnp.maximum(local[p], a) if p in local else a
+
         def rec(next_fun, args, kwargs, context):
             if _is_quantizable(context.module, context.method_name, exempt):
-                p = _conv_path(context.module)
-                ax = jnp.abs(args[0].astype(jnp.float32))
-                a = (jnp.percentile(ax, percentile)
-                     if percentile is not None else jnp.max(ax))
-                local[p] = jnp.maximum(local[p], a) if p in local else a
-            return next_fun(*args, **kwargs)
+                put(_conv_path(context.module),
+                    _reduce(jnp.abs(args[0].astype(jnp.float32))))
+            out = next_fun(*args, **kwargs)
+            if (_is_res_block(context.module)
+                    and context.method_name == "__call__"):
+                put(_conv_path(context.module) + "::out",
+                    _reduce(jnp.abs(out.astype(jnp.float32))))
+            return out
 
         with nn.intercept_methods(rec):
             apply_model(model, variables, x)
@@ -175,6 +202,196 @@ def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# int8-through encoder chain (round 3)
+#
+# The per-conv interception above dequantizes after EVERY conv, so fp
+# activations round-trip through HBM between convs; measured HLO showed the
+# int8 graph touching ~23.3 GB/step vs bf16's 24.5 GB — no bandwidth win,
+# which is why end-to-end int8 was only 1.14x while per-conv probes show
+# 1.4-2x (BASELINE.md round-2 PTQ). The chain below runs the WHOLE ResNet
+# encoder int8-in/int8-out: each conv's epilogue fuses dequant + BN + bias
+# + relu + requant (all elementwise, so XLA folds it into the conv fusion
+# and writes int8 to HBM), the residual add happens in registers, and the
+# stem maxpool runs directly on int8 (max commutes with the monotone
+# quantization). Activations only exist in HBM as int8 between blocks.
+#
+# Structure mirrors models/resnet.py::{ResNetEncoder, BasicBlock,
+# Bottleneck} (parity-tested in tests/test_quant.py); BN (eval-mode
+# affine) is folded into the dequant multiplier/bias analytically, so both
+# fold_bn=True and BN-stat checkpoints work.
+# ---------------------------------------------------------------------------
+
+
+def _dn(x_shape, w_shape):
+    return lax.conv_dimension_numbers(x_shape, w_shape, ("NHWC", "HWIO", "NHWC"))
+
+
+def _conv_q(xq, wq, stride, pad):
+    return lax.conv_general_dilated(
+        xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=_dn(xq.shape, wq.shape),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _quantize_fp(x, rng_abs):
+    s = jnp.float32(rng_abs / 127.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0)
+    return xq.astype(jnp.int8), s
+
+
+def _requant(acc_i32, mult, bias, out_range, relu=True):
+    """int32 conv accumulator -> int8 with the fused fp epilogue
+    (dequant * per-channel mult + bias [+ relu]) -> symmetric requant."""
+    y = acc_i32.astype(jnp.float32) * mult + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    s = jnp.float32(out_range / 127.0)
+    yq = jnp.clip(jnp.round(y / s), -127.0, 127.0).astype(jnp.int8)
+    return yq, s
+
+
+def _maxpool_q(xq):
+    """3x3/2 pad-1 max pool on int8 (mirrors the stem nn.max_pool)."""
+    return lax.reduce_window(
+        xq, jnp.int8(-128), lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def _conv_eff(p, s, conv_name, bn_name, fold_bn):
+    """Effective (int8 kernel, per-channel weight scale, fp bias) with the
+    eval-mode BN affine absorbed: BN(conv(x)) = a*conv(x) + b with
+    a = gamma/sqrt(var+eps), b = beta - a*mean."""
+    W = p[conv_name]["kernel"].astype(jnp.float32)
+    if fold_bn:
+        beff = p[conv_name].get("bias", jnp.zeros((W.shape[-1],))).astype(jnp.float32)
+    else:
+        bn_p, bn_s = p[bn_name], s[bn_name]
+        a = (bn_p["scale"].astype(jnp.float32)
+             / jnp.sqrt(bn_s["var"].astype(jnp.float32) + 1e-5))
+        beff = (bn_p["bias"].astype(jnp.float32)
+                - a * bn_s["mean"].astype(jnp.float32))
+        W = W * a  # fold the BN gain into the weights pre-quantization
+    w_scale = jnp.maximum(jnp.max(jnp.abs(W), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.round(W / w_scale).astype(jnp.int8)
+    return wq, w_scale, beff
+
+
+def _encoder_plan(enc):
+    """(block names, widths, strides, bottleneck?) from the encoder spec."""
+    from supervised_dispnet_tpu.models.resnet import RESNET_SPECS, Bottleneck
+
+    block_cls, stage_sizes, _ = RESNET_SPECS[enc.depth]
+    blocks = []
+    for stage, (n_blocks, width) in enumerate(
+            zip(stage_sizes, (64, 128, 256, 512))):
+        for b in range(n_blocks):
+            stride = 2 if (b == 0 and stage > 0) else 1
+            blocks.append((f"layer{stage + 1}_{b}", width, stride,
+                           b == n_blocks - 1))
+    return blocks, block_cls is Bottleneck
+
+
+def _encoder_chain_keys(enc) -> list[str]:
+    """Calibration keys the chain needs; if any is missing the caller
+    falls back to per-conv interception (pre-round-3 calibrations)."""
+    base = "/".join(enc.path)
+    key = lambda *n: "/".join(((base,) if base else ()) + n)  # noqa: E731
+    blocks, bottleneck = _encoder_plan(enc)
+    keys = [key("conv1"), key("layer1_0", "conv1")]
+    for name, _, _, _ in blocks:
+        keys.append(key(name) + "::out")
+        keys.append(key(name, "conv2"))
+        if bottleneck:
+            keys.append(key(name, "conv3"))
+    return keys
+
+
+def _int8_chain_encoder(enc, x, ranges):
+    """ResNetEncoder eval forward, int8 end-to-end; returns the 5 fp
+    feature maps (the decoder consumes those through per-conv int8)."""
+    p = enc.variables["params"]
+    s = enc.variables.get("batch_stats", {})
+    base = "/".join(enc.path)
+    key = lambda *n: "/".join(((base,) if base else ()) + n)  # noqa: E731
+    out_dtype = enc.dtype or x.dtype
+    blocks, bottleneck = _encoder_plan(enc)
+
+    feats = []
+    # stem: conv 7x7/2 + BN + relu, requantized with layer1_0/conv1's
+    # calibrated input range (the maxpool keeps the max, so the pre- and
+    # post-pool absmax agree for the post-relu tensor)
+    xq, s_in = _quantize_fp(x, ranges[key("conv1")])
+    wq, ws, b = _conv_eff(p, s, "conv1", "bn1", enc.fold_bn)
+    acc = _conv_q(xq, wq, 2, 3)
+    hq, s_h = _requant(acc, s_in * ws, b, ranges[key("layer1_0", "conv1")])
+    feats.append((hq.astype(jnp.float32) * s_h).astype(out_dtype))  # 1/2
+    hq = _maxpool_q(hq)
+
+    for name, width, stride, last_in_stage in blocks:
+        bp, bs = p[name], s.get(name, {})
+        kb = lambda n: key(name, n)  # noqa: E731
+        out_range = ranges[key(name) + "::out"]
+        if bottleneck:
+            wq1, ws1, b1 = _conv_eff(bp, bs, "conv1", "bn1", enc.fold_bn)
+            h, s1 = _requant(_conv_q(hq, wq1, 1, 0), s_h * ws1, b1,
+                             ranges[kb("conv2")])
+            wq2, ws2, b2 = _conv_eff(bp, bs, "conv2", "bn2", enc.fold_bn)
+            h, s2 = _requant(_conv_q(h, wq2, stride, 1), s1 * ws2, b2,
+                             ranges[kb("conv3")])
+            wq3, ws3, b3 = _conv_eff(bp, bs, "conv3", "bn3", enc.fold_bn)
+            main = _conv_q(h, wq3, 1, 0).astype(jnp.float32) * (s2 * ws3) + b3
+        else:
+            wq1, ws1, b1 = _conv_eff(bp, bs, "conv1", "bn1", enc.fold_bn)
+            h, s1 = _requant(_conv_q(hq, wq1, stride, 1), s_h * ws1, b1,
+                             ranges[kb("conv2")])
+            wq2, ws2, b2 = _conv_eff(bp, bs, "conv2", "bn2", enc.fold_bn)
+            main = _conv_q(h, wq2, 1, 1).astype(jnp.float32) * (s1 * ws2) + b2
+        if "downsample_conv" in bp:
+            wqd, wsd, bd = _conv_eff(bp, bs, "downsample_conv",
+                                     "downsample_bn", enc.fold_bn)
+            idn = (_conv_q(hq, wqd, stride, 0).astype(jnp.float32)
+                   * (s_h * wsd) + bd)
+        else:
+            idn = hq.astype(jnp.float32) * s_h
+        # The residual add consumes TWO conv outputs; XLA fuses an
+        # epilogue into only one of them and materializes the other as a
+        # RAW int32 accumulator (4 B/elem — measured: four 0.4 GB s32
+        # buffers at the stage boundaries). Casting each side to bf16
+        # closes every conv's epilogue with a 2 B write instead; the bf16
+        # rounding (~0.4%) is at the int8 quantization noise floor.
+        if "downsample_conv" in bp:
+            main = main.astype(jnp.bfloat16)
+            idn = idn.astype(jnp.bfloat16)
+        y = jnp.maximum((main + idn).astype(jnp.float32), 0.0)
+        s_o = jnp.float32(out_range / 127.0)
+        hq = jnp.clip(jnp.round(y / s_o), -127.0, 127.0).astype(jnp.int8)
+        s_h = s_o
+        if last_in_stage:
+            feats.append((hq.astype(jnp.float32) * s_h).astype(out_dtype))
+    return feats
+
+
+def _bf16_disp_head(module, x):
+    """DispHead serving epilogue for the quantized path: the training-time
+    head casts its INPUT to fp32 (models/common.py::DispHead), which at
+    full resolution materializes ~0.9 GB/step of fp32 activations. For
+    serving, run the 3x3 conv in bf16 (input stays bf16) and keep only the
+    1-channel sigmoid/scale math in fp32 — the quality cost is inside the
+    int8 noise floor (quant_bench rel-err table)."""
+    p = module.variables["params"]["Conv_0"]
+    w = p["kernel"].astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    out = lax.conv_general_dilated(
+        xb, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=_dn(xb.shape, w.shape),
+    ).astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return module.alpha * jax.nn.sigmoid(out) + module.beta
+
+
 def quantized_apply(
     model,
     variables,
@@ -186,9 +403,27 @@ def quantized_apply(
 
     Jittable: wrap in ``jax.jit(lambda v, x: quantized_apply(model, v, x,
     ranges=ranges))``. Convs without a calibration entry (or exempt) run
-    in the original precision.
+    in the original precision. When ``ranges`` carries the block-output
+    keys (round-3 calibrations) and no ``exempt`` predicate is given,
+    ResNet encoders run as a fused int8-in/int8-out chain
+    (``_int8_chain_encoder``) instead of per-conv interception.
     """
+    from supervised_dispnet_tpu.models.common import DispHead
+    from supervised_dispnet_tpu.models.resnet import ResNetEncoder
+
     def q_interceptor(next_fun, fargs, fkwargs, context):
+        train = fkwargs.get("train", fargs[1] if len(fargs) > 1 else False)
+        if (type(context.module) is ResNetEncoder
+                and context.method_name == "__call__"
+                and exempt is None
+                and not train
+                and all(k in ranges
+                        for k in _encoder_chain_keys(context.module))):
+            return _int8_chain_encoder(context.module, fargs[0], ranges)
+        if (type(context.module) is DispHead
+                and context.method_name == "__call__" and exempt is None
+                and ranges):  # empty ranges = identity contract
+            return _bf16_disp_head(context.module, fargs[0])
         if _is_quantizable(context.module, context.method_name, exempt):
             p = _conv_path(context.module)
             if p in ranges:

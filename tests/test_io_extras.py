@@ -75,8 +75,15 @@ def test_export_int8_roundtrip(tmp_path):
                    img_height=H, img_width=W, int8_ranges=ranges)
     fn = load_forward(path)
     got = np.asarray(fn(x))
-    ref = np.asarray(quantized_apply(model, variables, x, ranges=ranges)[0])
-    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # reference = the JITTED quantized path (what serving runs; the export
+    # wraps exactly this program, measured bit-exact). The eager path is
+    # NOT a valid oracle here: fused-vs-eager fp rounding flips int8
+    # levels right at round() boundaries, and round-3's bf16 DispHead
+    # widens that to ~1% on downstream disparities.
+    ref = np.asarray(jax.jit(
+        lambda xx: quantized_apply(model, variables, xx, ranges=ranges)[0]
+    )(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
 def test_step_timer_and_steady_state():

@@ -150,3 +150,47 @@ def test_dilated_convs_excluded():
     fp = model.apply(variables, x, train=False)
     q = quantized_apply(model, variables, x, ranges=ranges)
     assert np.asarray(q).shape == np.asarray(fp).shape
+
+
+def test_encoder_chain_parity_resnet50():
+    """Round-3 int8-through encoder chain (activations stay int8 in HBM
+    between blocks): output must stay close to the fp32 forward, like the
+    per-conv path it replaces."""
+    from supervised_dispnet_tpu.models import DispResNet
+
+    model = DispResNet(encoder_depth=50)
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    # round-3 calibrations carry the block-output keys the chain needs
+    assert any(k.endswith("::out") for k in ranges)
+
+    fp = np.asarray(model.apply(variables, x, train=False)[0])
+    q_chain = np.asarray(quantized_apply(
+        model, variables, x, ranges=ranges)[0])
+    rel = np.abs(q_chain - fp) / np.abs(fp)
+    assert np.median(rel) < 0.05, np.median(rel)
+
+    # the pre-round-3 per-conv path (no ::out keys) must still work and
+    # agree with the chain at quality level
+    v1_ranges = {k: v for k, v in ranges.items() if not k.endswith("::out")}
+    q_v1 = np.asarray(quantized_apply(
+        model, variables, x, ranges=v1_ranges)[0])
+    rel_v1 = np.abs(q_v1 - fp) / np.abs(fp)
+    assert np.median(rel_v1) < 0.05, np.median(rel_v1)
+
+
+def test_encoder_chain_parity_resnet18():
+    """BasicBlock variant of the chain."""
+    from supervised_dispnet_tpu.models import DispResNet
+
+    model = DispResNet(encoder_depth=18)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    fp = np.asarray(model.apply(variables, x, train=False)[0])
+    q = np.asarray(quantized_apply(model, variables, x, ranges=ranges)[0])
+    rel = np.abs(q - fp) / np.abs(fp)
+    assert np.median(rel) < 0.05, np.median(rel)
