@@ -1,11 +1,21 @@
-"""Training-works smoke: supervised training on a *learnable* synthetic
-mapping must drive Eigen metrics down.
+"""Training-works smoke: training on a *learnable* synthetic mapping must
+drive Eigen metrics down.
 
-Synthetic task: depth is a smooth deterministic function of image content
+Supervised task: depth is a smooth deterministic function of image content
 (depth = 5 + 40 * blurred-brightness), so a depth net must learn it. Runs a
 few hundred fused train steps and reports initial vs final val abs_rel.
 
+Self-supervised task (--loss selfsup): synthetic ego-motion video of a
+textured plane (data/synthetic.py — analytic GT depth, known camera
+poses). DispNet + PoseExpNet train jointly through the photometric warp
+exactly like BASELINE config 5; reported metrics are median-scaled
+abs_rel vs the analytic depth and scale-aligned pose ATE / rotation
+error vs the known motions. This is the only offline demonstration that
+the coupled disp+pose learning dynamics converge (reference:
+``train.py`` self-sup path).
+
 Usage: python benchmarks/convergence_check.py [--steps 300]
+       python benchmarks/convergence_check.py --loss selfsup --steps 600
 Intended for TPU; runs anywhere.
 """
 
@@ -31,18 +41,160 @@ def synth_batch(rng, B, H, W):
     return img, depth.astype(np.float32)
 
 
+def run_selfsup(args) -> None:
+    """Joint DispNet+PoseExpNet training on synthetic ego-motion video."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from supervised_dispnet_tpu.data.augment import (
+        AugmentConfig, HALF_MEAN, HALF_STD, normalize_images,
+    )
+    from supervised_dispnet_tpu.data.synthetic import (
+        PlaneSceneConfig, pose_errors, render_batch, scaled_abs_rel,
+    )
+    from supervised_dispnet_tpu.models import get_disp_net, PoseExpNet
+    from supervised_dispnet_tpu.training import (
+        create_train_state, make_selfsup_train_step,
+    )
+
+    H, W, B = args.height, args.width, args.batch
+    # the structured scene: tilted background plane + floating occluder
+    # quads. With occluders a constant-disparity prediction can no longer
+    # median-scale its way to a low abs_rel, so the initial->final drop
+    # measures actual structure learning (plane-only initial abs_rel was
+    # ~0.15; this scene starts ~2x higher).
+    cfg = PlaneSceneConfig(height=H, width=W, focal=200.0 * W / 416,
+                           tilt=0.35, center_depth=(5.0, 16.0),
+                           fg_planes=2)
+    rng = np.random.default_rng(0)
+
+    disp_model = get_disp_net(args.network)
+    pose_model = PoseExpNet(nb_ref_imgs=cfg.nb_refs, output_exp=True)
+    if args.bf16:
+        if hasattr(disp_model, "dtype"):
+            disp_model = disp_model.clone(dtype=jnp.bfloat16)
+        pose_model = pose_model.clone(dtype=jnp.bfloat16)
+
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp_model, (tgt0,), optax.adam(2e-4), seed=0,
+        extra_models={"pose": (pose_model,
+                               (tgt0, [tgt0] * cfg.nb_refs))},
+    )
+    # augmentation OFF: flips/crops would desynchronize the known poses
+    no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
+    step = make_selfsup_train_step(
+        disp_model, pose_model, nb_ref_imgs=cfg.nb_refs, aug=no_aug,
+        donate=False,
+    )
+
+    # pre-render a pool of snippets and upload ONCE (uint8 transport);
+    # per-step batches are device-side slices — the host link never sees
+    # a training batch again (BASELINE.md transport findings)
+    n_pool = max(8, min(24, args.steps // 4))
+    print(f"rendering {n_pool} train batches of {B} snippets...", flush=True)
+    pool = [render_batch(rng, B, cfg) for _ in range(n_pool)]
+    pool_tgt = jax.device_put(np.stack(
+        [(p["tgt"] * 255).astype(np.uint8) for p in pool]))
+    pool_refs = jax.device_put(np.stack(
+        [(p["ref_imgs"] * 255).astype(np.uint8) for p in pool]))
+    pool_K = jax.device_put(np.stack([p["intrinsics"] for p in pool]))
+
+    val = render_batch(np.random.default_rng(999), B, cfg)
+    val_tgt = jax.device_put((val["tgt"] * 255).astype(np.uint8))
+    val_refs = jax.device_put((val["ref_imgs"] * 255).astype(np.uint8))
+
+    from supervised_dispnet_tpu.training.train_step import _apply
+
+    @jax.jit
+    def predict(params, batch_stats, tgt_u8, refs_u8):
+        x = normalize_images(tgt_u8.astype(jnp.float32) / 255.0,
+                             HALF_MEAN, HALF_STD)
+        refs = [normalize_images(refs_u8[:, r].astype(jnp.float32) / 255.0,
+                                 HALF_MEAN, HALF_STD)
+                for r in range(cfg.nb_refs)]
+        disps, _ = _apply(disp_model, params["disp"], batch_stats["disp"],
+                          x, train=False)
+        # pose model output = (exp_masks, pose)
+        (_, pose), _ = _apply(pose_model, params["pose"],
+                              batch_stats["pose"], x, refs, train=False)
+        return 1.0 / jnp.maximum(disps[0][..., 0], 1e-6), pose
+
+    def evaluate(state):
+        depth_pred, pose_pred = predict(state.params, state.batch_stats,
+                                        val_tgt, val_refs)
+        abs_rel = scaled_abs_rel(np.asarray(depth_pred), val["depth"])
+        ate, rot = pose_errors(np.asarray(pose_pred), val["poses"])
+        return {"abs_rel": round(abs_rel, 4), "pose_ate_m": round(ate, 4),
+                "pose_rot_rad": round(rot, 5)}
+
+    initial = evaluate(state)
+    print(f"initial: {initial}", flush=True)
+    t0 = time.time()
+    curve = []
+    for i in range(args.steps):
+        j = i % n_pool
+        batch = {"tgt": pool_tgt[j], "ref_imgs": pool_refs[j],
+                 "intrinsics": pool_K[j]}
+        state, metrics = step(state, batch)
+        if (i + 1) % 100 == 0 or i == 0:
+            m = evaluate(state)
+            curve.append({"step": i + 1,
+                          "loss": round(float(metrics["loss"]), 4), **m})
+            print(f"step {i + 1}: loss {float(metrics['loss']):.4f} {m}",
+                  flush=True)
+    final = evaluate(state)
+    if args.save:
+        from supervised_dispnet_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(Path(args.save), state, step=0)
+        print(f"saved trained checkpoint to {args.save}", flush=True)
+    print(json.dumps({
+        "metric": "synthetic_selfsup_convergence",
+        "initial": initial,
+        "final": final,
+        "steps": args.steps,
+        "batch": B,
+        "seconds": round(time.time() - t0, 1),
+        "curve": curve,
+        "converged": (final["abs_rel"] < 0.6 * initial["abs_rel"]
+                      and final["pose_ate_m"] < 0.6 * initial["pose_ate_m"]),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--network", default="disp_res_18")
     ap.add_argument("--loss", default="berhu",
-                    choices=["l1", "berhu", "scale_invariant", "classification"])
+                    choices=["l1", "berhu", "scale_invariant",
+                             "classification", "selfsup"])
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 trunk compute (fp32 params/heads)")
     ap.add_argument("--multiscale-classification", action="store_true",
                     help="supervise bin logits at all 4 decoder scales")
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=416)
+    ap.add_argument("--save", default=None, metavar="DIR",
+                    help="save the trained state as an orbax checkpoint "
+                         "(feeds quant_bench --checkpoint for trained-"
+                         "weights int8 calibration)")
+    ap.add_argument("--bf16-grads", action="store_true",
+                    help="cast gradients to bf16 before Adam — the "
+                         "convergence-parity gate for the precision probe")
+    ap.add_argument("--bf16-opt-state", action="store_true",
+                    help="store Adam's first moment in bf16 (mu_dtype)")
     args = ap.parse_args()
+
+    if args.loss == "selfsup":
+        if args.batch == 32:
+            args.batch = 16  # selfsup default: 3 views/snippet
+        if args.network == "disp_res_18":
+            args.network = "dispnet"  # the reference's self-sup config
+        run_selfsup(args)
+        return
 
     import jax
 
@@ -69,9 +221,14 @@ def main() -> None:
         multiscale_classification=args.multiscale_classification)
     if args.bf16 and hasattr(model, "dtype"):
         model = model.clone(dtype=jnp.bfloat16)
-    state = create_train_state(
-        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-4)
+    from supervised_dispnet_tpu.training.trainer import (
+        TrainerConfig, build_optimizer,
     )
+
+    tx = build_optimizer(TrainerConfig(
+        lr=1e-4, bf16_grads=args.bf16_grads,
+        bf16_opt_state=args.bf16_opt_state))
+    state = create_train_state(model, (jnp.zeros((1, H, W, 3)),), tx)
     no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
     step = make_supervised_train_step(model, args.loss, aug=no_aug)
     ev = make_eval_step(model, classification=classification)
@@ -106,6 +263,11 @@ def main() -> None:
             print(f"step {i}: loss {float(metrics['loss']):.4f} "
                   f"abs_rel {val_abs_rel(state):.4f}", flush=True)
     final = val_abs_rel(state)
+    if args.save:
+        from supervised_dispnet_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(Path(args.save), state, step=0)
+        print(f"saved trained checkpoint to {args.save}", flush=True)
     print(json.dumps({
         "metric": "synthetic_convergence_abs_rel",
         "multiscale_classification": args.multiscale_classification,
