@@ -260,3 +260,63 @@ def test_trainer_with_grain_loader(dump_root, tmp_path):
     trainer = Trainer(cfg, DispResNet(encoder_depth=18), mesh=mesh)
     best = trainer.fit()
     assert np.isfinite(best)
+
+
+def test_odometry_etl_selfsup_train_pose_eval(tmp_path, capsys):
+    """The full odometry flow as ONE pipeline (VERDICT r2 item 5):
+    synthetic KITTI-odometry tree -> prepare_train_data --dataset-format
+    odometry -> train CLI --loss selfsup on the dump -> test_pose CLI
+    evaluates the TRAINED checkpoint on the held-out test sequence."""
+    import cv2
+
+    from supervised_dispnet_tpu.cli.test_pose import main as test_pose_main
+    from supervised_dispnet_tpu.cli.train import main as train_main
+    from supervised_dispnet_tpu.data.prepare_train_data import main as etl_main
+
+    # 1) synthetic odometry tree (seq 09 is a held-out test sequence)
+    rng = np.random.default_rng(7)
+    Ho, Wo = 64, 128
+    root = tmp_path / "odometry"
+    for seq in ("00", "09"):
+        img_dir = root / "sequences" / seq / "image_2"
+        img_dir.mkdir(parents=True)
+        for i in range(8):
+            cv2.imwrite(str(img_dir / f"{i:06d}.png"),
+                        rng.integers(0, 256, (Ho, Wo, 3), dtype=np.uint8))
+        P2 = np.array([[70.0, 0, Wo / 2, 0.0], [0, 70.0, Ho / 2, 0],
+                       [0, 0, 1, 0]])
+        (root / "sequences" / seq / "calib.txt").write_text(
+            "P0: " + " ".join(map(str, P2.reshape(-1))) + "\n"
+            "P2: " + " ".join(map(str, P2.reshape(-1))) + "\n")
+        poses, t = [], np.zeros(3)
+        for i in range(8):
+            poses.append(np.hstack([np.eye(3), t[:, None]]).reshape(-1))
+            t = t + [0.05, 0, 1.0]
+        (root / "poses").mkdir(exist_ok=True)
+        np.savetxt(root / "poses" / f"{seq}.txt", np.stack(poses))
+
+    # 2) odometry ETL
+    dump = tmp_path / "dump"
+    etl_main([str(root), "--dataset-format", "odometry",
+              "--dump-root", str(dump), "--with-pose",
+              "--height", str(H), "--width", str(W), "--num-threads", "1",
+              "--val-frac", "0.0"])
+    assert (dump / "seq_00").is_dir()
+
+    # 3) self-supervised training on the dump (tiny: 1 epoch, 2 steps)
+    ckpt_dir = tmp_path / "ckpts"
+    train_main([str(dump), "--loss", "selfsup", "--network", "dispnet",
+                "--epochs", "1", "--epoch-size", "2", "-b", "2", "-j", "1",
+                "--img-height", str(H), "--img-width", str(W),
+                "--checkpoints-dir", str(ckpt_dir), "--name", "odo"])
+    runs = sorted((ckpt_dir / "odo").iterdir())
+    assert runs, "train CLI produced no run dir"
+    run_dir = runs[-1]
+
+    # 4) pose evaluation of the TRAINED checkpoint on the held-out seq
+    test_pose_main(["--pretrained-posenet", str(run_dir),
+                    "--dataset-dir", str(root), "--sequences", "09",
+                    "--img-height", str(H), "--img-width", str(W),
+                    "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "ATE" in out and "RE" in out
