@@ -81,8 +81,11 @@ def _sample_texture(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray
     """Bilinear texture lookup. u, v in texture-pixel coords, any shape;
     returns (..., 3)."""
     Ht, Wt = tex.shape[:2]
-    u = np.clip(u, 0.0, Wt - 1.001)
-    v = np.clip(v, 0.0, Ht - 1.001)
+    # wrap (tile) rather than clamp: distant plane regions keep texture
+    # gradients instead of degenerating into clamp streaks; the seam is a
+    # world-anchored feature, so it stays photometrically consistent
+    u = np.mod(u, Wt - 1.001)
+    v = np.mod(v, Ht - 1.001)
     u0 = np.floor(u).astype(np.int64)
     v0 = np.floor(v).astype(np.int64)
     fu = (u - u0)[..., None]
@@ -123,8 +126,21 @@ class PlaneSceneConfig:
     #   FRACTION of the background plane's center depth (absolute floor
     #   1.5 m) — keyed to z0 so the fg/bg depth contrast is >=2x in every
     #   scene, whatever center_depth was drawn
-    fg_half_size: tuple[float, float] = (0.8, 2.4)  # half-extent (m)
+    fg_half_size: tuple[float, float] = (0.2, 0.4)  # quad half-extent as
+    #   a FRACTION of the image's half-extent at the quad's depth — the
+    #   ANGULAR size is what matters (a fixed metric size covers the
+    #   whole image once the quad is near), so it is keyed to z_f and f
     fg_tilt: float = 0.4
+    # room=True adds floor/ceiling/side-wall planes (a corridor seen down
+    # +z). A SINGLE plane is homography-degenerate for SfM: any (depth,
+    # pose) pair consistent with the inter-frame homography reconstructs
+    # it exactly, so the photometric loss does not tie the depth map to
+    # the true plane (observed: loss down, TRAIN abs_rel up). Two or more
+    # planes make the motion — and with it per-pixel depth — unique, like
+    # real scenes. Depth stays analytic (per-ray nearest hit).
+    room: bool = False
+    room_halfwidth: tuple[float, float] = (2.5, 4.5)  # wall distance (m)
+    room_height: tuple[float, float] = (1.0, 1.8)  # floor/ceiling dist (m)
 
 
 def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
@@ -135,7 +151,9 @@ def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
 
-    # plane in the TARGET camera frame: n . X = d
+    # background: list of infinite textured planes (n . X = d in the
+    # TARGET frame, with in-plane texture axes). Always includes the
+    # tilted back plane; cfg.room adds floor/ceiling/side walls
     a, b = rng.uniform(-cfg.tilt, cfg.tilt, 2)
     n = np.array([a, b, 1.0])
     n /= np.linalg.norm(n)
@@ -143,12 +161,27 @@ def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
     d = z0 * n[2]  # center ray dir=(0,0,1): s = d / n_z = z0
 
     tex = _smooth_texture(rng, cfg.texture_size)
-    ext, ts = cfg.texture_extent, cfg.texture_size
+    ts = cfg.texture_size
 
-    def world_to_tex(Xt):
-        u = (Xt[..., 0] / ext * 0.5 + 0.5) * (ts - 1)
-        v = (Xt[..., 1] / ext * 0.5 + 0.5) * (ts - 1)
-        return _sample_texture(tex, u, v)
+    def _axes(n_p):
+        u_ax = np.array([n_p[2], 0.0, -n_p[0]])
+        u_ax /= np.linalg.norm(u_ax)
+        return u_ax, np.cross(n_p, u_ax)
+
+    bg = [(n, d, *_axes(n), cfg.texture_extent,
+           np.zeros(2), 1.0)]  # (n, d, u_ax, v_ax, ext, tex_off, bright)
+    if cfg.room:
+        h_f, h_c = rng.uniform(*cfg.room_height, 2)
+        w_l, w_r = rng.uniform(*cfg.room_halfwidth, 2)
+        ax_h = (np.array([1.0, 0, 0]), np.array([0, 0, 1.0]))
+        ax_v = (np.array([0, 1.0, 0]), np.array([0, 0, 1.0]))
+        for n_p, d_p, (u_ax, v_ax) in (
+                (np.array([0, 1.0, 0]), h_f, ax_h),   # floor (y down)
+                (np.array([0, -1.0, 0]), h_c, ax_h),  # ceiling
+                (np.array([-1.0, 0, 0]), w_l, ax_v),  # left wall
+                (np.array([1.0, 0, 0]), w_r, ax_v)):  # right wall
+            bg.append((n_p, d_p, u_ax, v_ax, 18.0,
+                       rng.uniform(0, ts - 1, 2), rng.uniform(0.6, 1.0)))
 
     us = np.arange(W, dtype=np.float64)
     vs = np.arange(H, dtype=np.float64)
@@ -173,8 +206,9 @@ def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
         u_f = np.array([n_f[2], 0.0, -n_f[0]])
         u_f /= np.linalg.norm(u_f)
         v_f = np.cross(n_f, u_f)
-        ex = rng.uniform(*cfg.fg_half_size)
-        ey = rng.uniform(*cfg.fg_half_size)
+        # angular sizing: fraction of the image half-extent at depth z_f
+        ex = rng.uniform(*cfg.fg_half_size) * z_f * (W / 2) / f
+        ey = rng.uniform(*cfg.fg_half_size) * z_f * (H / 2) / f
         off = rng.uniform(0.0, 0.5 * (cfg.texture_size - 1), 2)
         bright = rng.uniform(0.55, 1.0)
         fg.append((n_f, C_f, u_f, v_f, ex, ey, off, bright))
@@ -186,13 +220,27 @@ def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
 
     def render(R, t):
         """View from camera with X_cam = R @ X_tgt + t; per-ray nearest
-        hit over background plane + foreground quads."""
-        n_c = R @ n
-        d_c = d + n_c @ t
-        s = d_c / (rays @ n_c)  # (H, W) ray lengths (s * ray = point)
-        P_c = s[..., None] * rays  # points in this cam's frame
-        Xt = (P_c - t) @ R  # R^T @ (P_c - t): back to target/world frame
-        col = world_to_tex(Xt)
+        hit over the background planes + foreground quads."""
+        s = np.full((H, W), np.inf)
+        col = np.zeros((H, W, 3), np.float32)
+        for n_p, d_p, u_ax, v_ax, ext_p, off_p, br_p in bg:
+            n_c = R @ n_p
+            denom = rays @ n_c
+            s_p = (d_p + n_c @ t) / np.where(np.abs(denom) < 1e-9,
+                                             1e-9, denom)
+            s_p = np.where(s_p > 0.3, s_p, np.inf)
+            win = s_p < s
+            if not win.any():
+                continue
+            s_safe = np.where(np.isfinite(s_p), s_p, 1.0)  # keep UV finite
+            Xt = (s_safe[..., None] * rays - t) @ R  # back to target frame
+            a_u, a_v = Xt @ u_ax, Xt @ v_ax
+            c = br_p * _sample_texture(
+                tex,
+                (a_u / ext_p * 0.5 + 0.5) * (ts - 1) + off_p[0],
+                (a_v / ext_p * 0.5 + 0.5) * (ts - 1) + off_p[1])
+            col = np.where(win[..., None], c, col)
+            s = np.where(win, s_p, s)
         for n_f, C_f, u_f, v_f, ex, ey, off, bright in fg:
             d_f = float(n_f @ C_f)
             n_fc = R @ n_f
