@@ -38,6 +38,15 @@ def main() -> None:
                          "— measure quantization quality on TRAINED "
                          "weights instead of random init (trained BN "
                          "outliers are what per-tensor scales clip)")
+    ap.add_argument("--quality-only", action="store_true",
+                    help="skip the B=256 timing chain (compile-heavy); "
+                         "report only the quantization-quality block — "
+                         "the mode for calibration sweeps")
+    ap.add_argument("--calib-batches", type=int, default=1,
+                    help="number of 8-image calibration batches (trained-"
+                         "checkpoint mode renders training-domain scenes; "
+                         "1 mirrors the eval CLIs' lazy first-batch "
+                         "calibration)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +65,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (args.batch, args.height, args.width, 3),
                            jnp.float32)
+    synth_val = None  # (normalized imgs, gt depth) when in trained mode
     if args.checkpoint:
         from supervised_dispnet_tpu.utils.checkpoint import restore_raw
 
@@ -65,8 +75,23 @@ def main() -> None:
         if bs:
             variables["batch_stats"] = bs
         print(f"loaded trained weights from {args.checkpoint}", flush=True)
+        # trained weights only mean something on training-domain inputs:
+        # calibrate on rendered scenes (convergence_check's generator,
+        # same (x-.5)/.5 normalization) and hold out a val batch with GT
+        # depth so quality is an abs_rel delta, not a disparity proxy
+        from benchmarks.convergence_check import synth_batch
+
+        rng_np = np.random.default_rng(7)
+        calib_inputs = []
+        for _ in range(max(args.calib_batches, 1)):
+            img, _ = synth_batch(rng_np, 8, args.height, args.width)
+            calib_inputs.append(jnp.asarray((img - 0.5) / 0.5))
+        v_img, v_depth = synth_batch(np.random.default_rng(999), 16,
+                                     args.height, args.width)
+        synth_val = (jnp.asarray((v_img - 0.5) / 0.5), v_depth)
     else:
         variables = model.init(rng, x)
+        calib_inputs = [x[:8]]
 
     exempt = None
     if args.exempt_stem:
@@ -74,7 +99,7 @@ def main() -> None:
             return tuple(m.kernel_size) == (7, 7)
 
     calib = calibrate_conv_ranges(
-        model, variables, [x[:8]], exempt=exempt,
+        model, variables, calib_inputs, exempt=exempt,
         percentile=args.percentile)
     print(f"calibrated {len(calib)} convs", flush=True)
 
@@ -101,16 +126,20 @@ def main() -> None:
         float(s)
         return args.batch * args.iters / (time.perf_counter() - t0)
 
-    ips_bf16 = bench(fwd_bf16)
-    print(f"bf16: {ips_bf16:.0f} img/s", flush=True)
-    ips_int8 = bench(fwd_int8)
-    print(f"int8: {ips_int8:.0f} img/s ({ips_int8 / ips_bf16:.2f}x)",
-          flush=True)
+    if args.quality_only:
+        ips_bf16 = ips_int8 = float("nan")
+    else:
+        ips_bf16 = bench(fwd_bf16)
+        print(f"bf16: {ips_bf16:.0f} img/s", flush=True)
+        ips_int8 = bench(fwd_int8)
+        print(f"int8: {ips_int8:.0f} img/s ({ips_int8 / ips_bf16:.2f}x)",
+              flush=True)
 
     # quality: relative disparity error vs the fp32 forward (fp32, not
-    # bf16, is the quality reference)
+    # bf16, is the quality reference); trained mode evaluates on the
+    # training-domain val batch instead of random noise
     model32 = get_disp_net(args.network)
-    small = x[:16]
+    small = synth_val[0] if synth_val is not None else x[:16]
     d_fp = np.asarray(apply_model(model32, variables, small)[0],
                       dtype=np.float32)
     d_q = np.asarray(
@@ -119,7 +148,7 @@ def main() -> None:
         )(variables, small), dtype=np.float32)
     rel = np.abs(d_q - d_fp) / np.abs(d_fp)
 
-    print(json.dumps({
+    result = {
         "metric": "int8_ptq_inference",
         "value": round(float(ips_int8), 1),
         "unit": f"images/sec ({args.network} int8 PTQ B={args.batch})",
@@ -130,7 +159,25 @@ def main() -> None:
         "disp_rel_err_max": round(float(rel.max()), 5),
         "exempt_stem": bool(args.exempt_stem),
         "percentile": args.percentile,
-    }))
+        "calib_batches": args.calib_batches,
+    }
+    if synth_val is not None:
+        # the metric of record: abs_rel on GT depth, fp32 vs int8 of the
+        # SAME trained weights (depth = 1/finest disp, cap 80 m — the
+        # eval-step decode, train_step.py::make_eval_step)
+        gt = synth_val[1]
+        mask = (gt > 0) & (gt < 80.0)
+
+        def abs_rel_of(d):
+            depth = 1.0 / d[..., 0]
+            return float(np.mean(np.abs(depth[mask] - gt[mask]) / gt[mask]))
+
+        result["abs_rel_fp32"] = round(abs_rel_of(d_fp), 5)
+        result["abs_rel_int8"] = round(abs_rel_of(d_q), 5)
+        result["abs_rel_delta"] = round(
+            result["abs_rel_int8"] - result["abs_rel_fp32"], 5)
+        result["trained_checkpoint"] = args.checkpoint
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
