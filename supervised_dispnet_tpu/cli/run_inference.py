@@ -40,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "batches widen the observed ranges)")
     p.add_argument("--percentile", type=float, default=None,
                    help="--int8: calibrate to this percentile of "
-                        "|activation| instead of the max (e.g. 99.9)")
+                        "|activation| instead of the max (99.9 is the "
+                        "measured recommendation for trained checkpoints "
+                        "— BASELINE.md round-3 calibration table)")
     return p
 
 

@@ -53,8 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "batches widen the observed ranges)")
     p.add_argument("--percentile", type=float, default=None,
                    help="--int8: calibrate to this percentile of "
-                        "|activation| instead of the max (e.g. 99.9; "
-                        "tames BN outlier channels on trained models)")
+                        "|activation| instead of the max. 99.9 is the "
+                        "measured recommendation for trained checkpoints "
+                        "(+0.004 abs_rel vs +0.010 for absmax; absmax "
+                        "also degrades as --calib-batches grows — "
+                        "BASELINE.md round-3 calibration table)")
     return p
 
 

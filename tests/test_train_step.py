@@ -99,6 +99,37 @@ def test_selfsup_step_runs_and_decreases():
     assert losses[-1] < losses[0]
 
 
+def test_selfsup_step_five_frame_snippets():
+    """The reference's --sequence-length is a free parameter (default 3);
+    the rebuild must not hard-code 3-frame snippets. 5 frames = 4 refs:
+    PoseExpNet emits (B, 4, 6) poses + 4-channel explainability, and the
+    photometric loss folds all 4 warps."""
+    nb_refs = 4
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=nb_refs, output_exp=True)
+    B = 2
+    rng = np.random.default_rng(5)
+    tgt = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt, [tgt] * nb_refs))},
+    )
+    step = make_selfsup_train_step(disp, pose, nb_ref_imgs=nb_refs,
+                                   aug=NO_AUG, donate=False)
+    batch = {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "ref_imgs": jnp.asarray(
+            rng.uniform(0, 1, (B, nb_refs, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(_sup_batch(B)["intrinsics"]),
+    }
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+
 def test_supervised_step_data_parallel_8dev():
     """Same math on a 1-device and an 8-device mesh (DP gradient psum)."""
     assert jax.device_count() >= 8, "conftest must force 8 virtual devices"
