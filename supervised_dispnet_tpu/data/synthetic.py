@@ -143,10 +143,11 @@ class PlaneSceneConfig:
     room_height: tuple[float, float] = (1.0, 1.8)  # floor/ceiling dist (m)
 
 
-def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
-    """Render ONE snippet. Returns a dict of float32 arrays:
-    tgt (H, W, 3), refs (R, H, W, 3), depth (H, W) analytic target depth,
-    poses (R, 6) target->ref 6-DoF [t, euler], intrinsics (3, 3)."""
+def _make_scene(rng: np.random.Generator, cfg: PlaneSceneConfig):
+    """Build ONE random scene (background planes + occluder quads, all in
+    the scene/frame-0 coordinate system) and return ``(render, K)`` where
+    ``render(R, t)`` views it from the camera with X_cam = R @ X_0 + t and
+    returns ``(image (H, W, 3), depth (H, W))``."""
     H, W, f = cfg.height, cfg.width, cfg.focal
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
@@ -257,6 +258,15 @@ def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
             s = np.where(hit, s_f, s)
         return col.astype(np.float32), s * rays[..., 2]
 
+    return render, K
+
+
+def render_snippet(rng: np.random.Generator, cfg: PlaneSceneConfig):
+    """Render ONE snippet. Returns a dict of float32 arrays:
+    tgt (H, W, 3), refs (R, H, W, 3), depth (H, W) analytic target depth,
+    poses (R, 6) target->ref 6-DoF [t, euler], intrinsics (3, 3)."""
+    render, K = _make_scene(rng, cfg)
+
     tgt, depth = render(np.eye(3), np.zeros(3))
 
     refs, poses = [], []
@@ -291,6 +301,50 @@ def render_batch(rng: np.random.Generator, batch: int,
         "depth": np.stack([s["depth"] for s in snippets]),
         "poses": np.stack([s["poses"] for s in snippets]),
         "intrinsics": np.stack([s["intrinsics"] for s in snippets]),
+    }
+
+
+def render_sequence(rng: np.random.Generator, n_frames: int,
+                    cfg: PlaneSceneConfig = PlaneSceneConfig()):
+    """Continuous camera trajectory through ONE scene — the synthetic
+    stand-in for a KITTI odometry sequence (reference:
+    ``kitti_eval/pose_evaluation_utils.py`` ATE protocol consumes
+    ``sequences/NN/image_2`` + ``poses/NN.txt``).
+
+    Per-frame motion is a random walk whose steps are drawn from the
+    same ranges as :func:`render_snippet` ref motions (so a net trained
+    on snippets sees in-domain inter-frame motion), with the cumulative
+    forward displacement clamped so the camera never walks through the
+    back plane. Returns ``frames (N, H, W, 3)`` float32 in [0, 1],
+    ``poses (N, 3, 4)`` float32 cam-to-world in the frame-0 system
+    (KITTI ``poses.txt`` row convention), and ``intrinsics (3, 3)``.
+    """
+    render, K = _make_scene(rng, cfg)
+    R_wc, t_wc = np.eye(3), np.zeros(3)  # X_cam = R_wc @ X_0 + t_wc
+    frames, poses, depths = [], [], []
+    for _ in range(n_frames):
+        img, dep = render(R_wc, t_wc)
+        frames.append(img)
+        depths.append(dep.astype(np.float32))
+        R_cw = R_wc.T
+        t_cw = -R_wc.T @ t_wc
+        poses.append(np.concatenate([R_cw, t_cw[:, None]], 1)
+                     .astype(np.float32))
+        # step in the CURRENT camera frame, training-range magnitudes
+        ang = rng.uniform(-cfg.rot, cfg.rot, 3)
+        dt = np.array([rng.uniform(-cfg.trans_xy, cfg.trans_xy),
+                       rng.uniform(-cfg.trans_xy / 2, cfg.trans_xy / 2),
+                       rng.uniform(-cfg.trans_z, cfg.trans_z)])
+        if abs(t_cw[2] + dt[2]) > 2.5:  # stay inside the corridor
+            dt[2] = -dt[2]
+        R_s = euler_to_mat_np(ang)
+        R_wc = R_s @ R_wc
+        t_wc = R_s @ t_wc + dt
+    return {
+        "frames": np.stack(frames),
+        "depth": np.stack(depths),
+        "poses": np.stack(poses),
+        "intrinsics": K,
     }
 
 

@@ -10,6 +10,7 @@ from supervised_dispnet_tpu.data.synthetic import (
     PlaneSceneConfig,
     pose_errors,
     render_batch,
+    render_sequence,
     render_snippet,
     scaled_abs_rel,
 )
@@ -122,6 +123,44 @@ def test_room_scene_warp_consistency_and_structure():
         # depth discontinuities (wall/plane seams, occluders) break
         # photometric consistency only on fringes: median stays at the
         # bilinear-resample level
+        assert np.median(err[v]) < 0.03, np.median(err[v])
+
+
+def test_render_sequence_poses_and_warp_consistency():
+    """The odometry-style sequence: poses are valid cam-to-world 3x4
+    (KITTI poses.txt convention — first row identity, orthonormal R),
+    and a zero-rotation sequence's relative translations warp frame i+1
+    back onto frame i through the analytic depth."""
+    cfg = PlaneSceneConfig(height=64, width=128, focal=100.0, room=True,
+                           fg_planes=2, rot=0.03)
+    seq = render_sequence(np.random.default_rng(0), 6, cfg)
+    assert seq["frames"].shape == (6, 64, 128, 3)
+    assert seq["poses"].shape == (6, 3, 4)
+    assert np.allclose(seq["poses"][0], np.eye(3, 4), atol=1e-6)
+    for P in seq["poses"]:
+        R = P[:, :3]
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R) - 1) < 1e-5
+
+    # warp check with rotation off: relative pose i->i+1 is a pure
+    # translation readable from the cam-to-world columns
+    cfg0 = PlaneSceneConfig(height=64, width=128, focal=100.0, room=True,
+                            fg_planes=1, rot=0.0)
+    seq0 = render_sequence(np.random.default_rng(1), 3, cfg0)
+    for i in range(2):
+        t_cw_i = seq0["poses"][i][:, 3]
+        t_cw_j = seq0["poses"][i + 1][:, 3]
+        t_rel = t_cw_i - t_cw_j  # X_cam_j = X_cam_i + (t_wc_j - t_wc_i)
+        pose6 = np.concatenate([t_rel, np.zeros(3)]).astype(np.float32)
+        warped, valid = inverse_warp(
+            jnp.asarray(seq0["frames"][i + 1][None]),
+            jnp.asarray(seq0["depth"][i][None]),
+            jnp.asarray(pose6[None]),
+            jnp.asarray(seq0["intrinsics"][None]),
+        )
+        err = np.abs(np.asarray(warped[0]) - seq0["frames"][i])
+        v = np.asarray(valid[0])
+        assert v.mean() > 0.7
         assert np.median(err[v]) < 0.03, np.median(err[v])
 
 
