@@ -201,6 +201,13 @@ def main() -> None:
                     help="selfsup: number of pre-rendered train batches "
                          "(0 = auto; augmentation multiplies diversity)")
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--qat", action="store_true",
+                    help="supervised: quantization-aware training (fake-"
+                         "quant convs); pair with --save + quant_bench "
+                         "--checkpoint to measure the int8 quality win")
+    ap.add_argument("--init-from", default=None, metavar="DIR",
+                    help="supervised: warm-start params+BN from an orbax "
+                         "checkpoint (fp train -> --qat fine-tune recipe)")
     ap.add_argument("--save", default=None, metavar="DIR",
                     help="save the trained state as an orbax checkpoint "
                          "(feeds quant_bench --checkpoint for trained-"
@@ -253,8 +260,22 @@ def main() -> None:
         lr=1e-4, bf16_grads=args.bf16_grads,
         bf16_opt_state=args.bf16_opt_state))
     state = create_train_state(model, (jnp.zeros((1, H, W, 3)),), tx)
+    if args.init_from:
+        # warm start from a prior run (e.g. fp training before a --qat
+        # fine-tune — the standard QAT recipe); optimizer state stays
+        # fresh, only params + BN stats are grafted
+        from supervised_dispnet_tpu.utils.checkpoint import restore_raw
+
+        restored, _ = restore_raw(Path(args.init_from))
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, restored.get("batch_stats", state.batch_stats)),
+        )
+        print(f"initialized from {args.init_from}", flush=True)
     no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
-    step = make_supervised_train_step(model, args.loss, aug=no_aug)
+    step = make_supervised_train_step(model, args.loss, aug=no_aug,
+                                      fake_quant=args.qat)
     ev = make_eval_step(model, classification=classification)
 
     K = np.broadcast_to(
@@ -295,6 +316,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "synthetic_convergence_abs_rel",
         "multiscale_classification": args.multiscale_classification,
+        "qat": args.qat,
         "initial": round(initial, 4),
         "final": round(final, 4),
         "steps": args.steps,

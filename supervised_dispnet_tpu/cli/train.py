@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bf16 trunk compute (params/heads fp32); the "
                         "configuration the headline TPU numbers use")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: fake-quantize every "
+                        "quantizable conv of the disp net so the "
+                        "checkpoint serves --int8 with less quality loss "
+                        "than post-training calibration")
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("--loader", default="threads",
                    choices=["threads", "grain", "device"],
@@ -182,6 +187,7 @@ def main(argv: list[str] | None = None) -> None:
         use_pallas_warp=args.use_pallas_warp,
         half_res_photo=args.half_res_photo,
         use_pallas_losses=args.use_pallas_losses,
+        qat=args.qat,
         bf16=args.bf16,
         debug_nans=args.debug_nans,
         loader=args.loader,

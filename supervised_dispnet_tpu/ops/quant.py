@@ -392,6 +392,74 @@ def _bf16_disp_head(module, x):
     return module.alpha * jax.nn.sigmoid(out) + module.beta
 
 
+# ---------------------------------------------------------------------------
+# Quantization-aware training (round 3)
+#
+# PTQ on trained weights costs +0.0041 abs_rel even with percentile
+# calibration (BASELINE.md round-3 table) because training never sees the
+# quantization noise. QAT closes that by training THROUGH it: every
+# quantizable conv runs a quantize-dequantize (QDQ) of its input
+# (per-tensor dynamic absmax — the int8 grid the serving path will impose)
+# and kernel (per-output-channel absmax, same scheme ``_int8_conv``
+# serves), with the straight-through estimator (STE) passing gradients
+# through the rounding. Arithmetic stays fp (training speed is NOT the
+# goal — the step is conv-bound and bf16-neutral per BASELINE.md round-3
+# probes); the payoff is weights that are robust to the serving-time int8
+# grid. The reference has no quantized path at all (SURVEY §2.1).
+# ---------------------------------------------------------------------------
+
+
+def _qdq_ste(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric int8 quantize-dequantize with a straight-through
+    gradient: forward = round(clip(x/s)) * s, backward = identity."""
+    q = jnp.clip(jnp.round(x / scale), -127.0, 127.0) * scale
+    return x + lax.stop_gradient(q - x)
+
+
+def _fake_quant_conv(module: nn.Conv, x: jax.Array) -> jax.Array:
+    """``nn.Conv.__call__`` with QDQ on input + kernel (the exact scales
+    the serving path would use on this step's tensors); fp32 conv."""
+    params = module.variables["params"]
+    kernel = params["kernel"].astype(jnp.float32)
+    w_scale = jnp.maximum(
+        jnp.max(jnp.abs(lax.stop_gradient(kernel)), axis=(0, 1, 2)),
+        1e-12) / 127.0
+    wq = _qdq_ste(kernel, w_scale)
+    xf = x.astype(jnp.float32)
+    in_scale = jnp.maximum(
+        jnp.max(jnp.abs(lax.stop_gradient(xf))), 1e-12) / 127.0
+    xq = _qdq_ste(xf, in_scale)
+    dn = lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        xq, wq,
+        window_strides=_canon_strides(module.strides, module.kernel_size),
+        padding=_canon_padding(module.padding, module.kernel_size),
+        dimension_numbers=dn,
+    )
+    if module.use_bias:
+        out = out + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def fake_quant_methods(exempt: Callable[[nn.Module], bool] | None = None):
+    """Context manager for QAT forwards: inside it, every quantizable
+    ``nn.Conv`` (same predicate the serving path uses — disparity heads
+    and dilated convs stay fp) runs fake-quantized. Wrap the model apply
+    of a train step::
+
+        with fake_quant_methods():
+            out, new_bs = model.apply(...)
+
+    Fresh context per call (flax interceptors are not reentrant)."""
+    def fq(next_fun, fargs, fkwargs, context):
+        if _is_quantizable(context.module, context.method_name, exempt):
+            return _fake_quant_conv(context.module, fargs[0])
+        return next_fun(*fargs, **fkwargs)
+
+    return nn.intercept_methods(fq)
+
+
 def quantized_apply(
     model,
     variables,

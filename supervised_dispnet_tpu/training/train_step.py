@@ -197,6 +197,7 @@ def make_supervised_train_step(
     use_pallas_losses: bool = False,
     ema_decay: float = 0.0,
     accum_steps: int = 1,
+    fake_quant: bool = False,
 ):
     """Build the jitted supervised step: (state, batch) -> (state, metrics).
 
@@ -205,6 +206,10 @@ def make_supervised_train_step(
 
     ``use_pallas_losses`` swaps in the fused Pallas reduction kernels
     (ops/pallas/losses.py, custom-VJP) for berhu / classification.
+
+    ``fake_quant`` trains THROUGH int8 quantization noise (QAT,
+    ops/quant.py::fake_quant_methods) so the checkpoint serves via
+    ``--int8`` with less quality loss than post-training calibration.
     """
     classification = loss_name == "classification"
     if classification and bins is None:
@@ -231,9 +236,18 @@ def make_supervised_train_step(
         mask = (depth_gt > 0) & (depth_gt < max_depth)
 
         def loss_fn(params):
-            out, new_bs = _apply(
-                model, params["disp"], state.batch_stats["disp"], x, train=True
-            )
+            if fake_quant:
+                from supervised_dispnet_tpu.ops.quant import fake_quant_methods
+
+                with fake_quant_methods():
+                    out, new_bs = _apply(
+                        model, params["disp"], state.batch_stats["disp"], x,
+                        train=True,
+                    )
+            else:
+                out, new_bs = _apply(
+                    model, params["disp"], state.batch_stats["disp"], x, train=True
+                )
             if classification:
                 if isinstance(out, (list, tuple)):  # multi-scale bin logits
                     from supervised_dispnet_tpu.losses import (
@@ -291,11 +305,13 @@ def make_selfsup_train_step(
     half_res_photo: bool = False,
     ema_decay: float = 0.0,
     accum_steps: int = 1,
+    fake_quant: bool = False,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights). ``half_res_photo`` computes
     the photometric pyramid one octave down (~4x cheaper warp gathers,
-    documented deviation).
+    documented deviation). ``fake_quant`` QAT-trains the DISP net (the
+    net the --int8 serving path quantizes; the pose net serves fp).
 
     batch: {'tgt': (B, H, W, 3), 'ref_imgs': (B, R, H, W, 3),
             'intrinsics': (B, 3, 3)}.
@@ -312,9 +328,19 @@ def make_selfsup_train_step(
         refs = [imgs[:, 1 + r] for r in range(nb_ref_imgs)]
 
         def loss_fn(params):
-            disps, new_bs_d = _apply(
-                disp_model, params["disp"], state.batch_stats["disp"], tgt, train=True
-            )
+            if fake_quant:
+                from supervised_dispnet_tpu.ops.quant import fake_quant_methods
+
+                with fake_quant_methods():
+                    disps, new_bs_d = _apply(
+                        disp_model, params["disp"], state.batch_stats["disp"],
+                        tgt, train=True,
+                    )
+            else:
+                disps, new_bs_d = _apply(
+                    disp_model, params["disp"], state.batch_stats["disp"], tgt,
+                    train=True,
+                )
             disps = disps[:num_scales]
             depths = disps_to_depths(disps)
             (exp_masks, pose), new_bs_p = _apply(

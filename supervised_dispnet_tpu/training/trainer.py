@@ -71,6 +71,9 @@ class TrainerConfig:
     half_res_photo: bool = False  # photometric loss one octave down (~4x
     #   cheaper warp gathers; deviation from the reference loss)
     use_pallas_losses: bool = False  # fused Pallas loss reduction kernels
+    qat: bool = False  # quantization-aware training: fake-quant every
+    #   quantizable conv of the disp net (ops/quant.py::fake_quant_methods)
+    #   so the checkpoint serves --int8 with less quality loss than PTQ
     debug_nans: bool = False  # jax nan-checker (SURVEY aux: sanitizers)
     training_output_freq: int = 0  # tensorboard disp images every N iters
     #   (reference: train.py --training-output-freq)
@@ -261,6 +264,7 @@ class Trainer:
                 half_res_photo=cfg.half_res_photo,
                 ema_decay=cfg.ema_decay,
                 accum_steps=cfg.accum_steps,
+                fake_quant=cfg.qat,
                 donate=donate,
             )
         return make_supervised_train_step(
@@ -269,6 +273,7 @@ class Trainer:
             use_pallas_losses=cfg.use_pallas_losses,
             ema_decay=cfg.ema_decay,
             accum_steps=cfg.accum_steps,
+            fake_quant=cfg.qat,
             donate=donate,
         )
 

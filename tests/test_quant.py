@@ -194,3 +194,68 @@ def test_encoder_chain_parity_resnet18():
     q = np.asarray(quantized_apply(model, variables, x, ranges=ranges)[0])
     rel = np.abs(q - fp) / np.abs(fp)
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+# --- QAT (fake-quant training, round 3) ------------------------------------
+
+
+def test_qdq_ste_gradient_is_identity_inside_range():
+    from supervised_dispnet_tpu.ops.quant import _qdq_ste
+
+    x = jnp.linspace(-1.0, 1.0, 31)
+    scale = jnp.float32(1.0 / 127.0)
+    g = jax.grad(lambda v: jnp.sum(_qdq_ste(v, scale)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.ones(31), atol=1e-6)
+    # forward actually quantizes: values land on the int8 grid
+    y = np.asarray(_qdq_ste(x, scale))
+    np.testing.assert_allclose(y, np.round(y / float(scale)) * float(scale),
+                               atol=1e-7)
+
+
+def test_fake_quant_forward_close_to_fp(dispnet_setup):
+    """QAT forward = fp forward + bounded int8 noise (same noise the
+    serving path injects), not a different function."""
+    from supervised_dispnet_tpu.models.common import apply_model
+    from supervised_dispnet_tpu.ops.quant import fake_quant_methods
+
+    model, variables, x = dispnet_setup
+    d_fp = np.asarray(apply_model(model, variables, x)[0])
+    with fake_quant_methods():
+        d_fq = np.asarray(apply_model(model, variables, x)[0])
+    rel = np.abs(d_fq - d_fp) / np.maximum(np.abs(d_fp), 1e-6)
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert not np.allclose(d_fq, d_fp)  # the QDQ must actually bite
+
+
+def test_supervised_step_fake_quant_trains():
+    """QAT step: loss decreases and gradients stay finite through the
+    straight-through estimator."""
+    import optax
+
+    from supervised_dispnet_tpu.data.augment import AugmentConfig
+    from supervised_dispnet_tpu.training import (
+        create_train_state, make_supervised_train_step,
+    )
+
+    model = DispNetS()
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0)
+    no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
+    step = make_supervised_train_step(model, "l1", aug=no_aug, donate=False,
+                                      fake_quant=True)
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(np.broadcast_to(
+            np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                     np.float32), (B, 3, 3)).copy()),
+        "depth": jnp.asarray(
+            rng.uniform(1, 60, (B, H, W)).astype(np.float32)),
+    }
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
