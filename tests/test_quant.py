@@ -259,3 +259,33 @@ def test_supervised_step_fake_quant_trains():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_fake_quant_composes_with_bf16_trunk():
+    """--qat --bf16 (the headline training precision): fake-quant runs
+    its QDQ+conv in fp32 and hands back the trunk dtype."""
+    import optax
+
+    from supervised_dispnet_tpu.data.augment import AugmentConfig
+    from supervised_dispnet_tpu.training import (
+        create_train_state, make_supervised_train_step,
+    )
+
+    model = DispResNet(encoder_depth=18, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0)
+    no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
+    step = make_supervised_train_step(model, "berhu", aug=no_aug,
+                                      donate=False, fake_quant=True)
+    rng = np.random.default_rng(1)
+    B = 2
+    batch = {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(np.broadcast_to(
+            np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                     np.float32), (B, 3, 3)).copy()),
+        "depth": jnp.asarray(
+            rng.uniform(1, 60, (B, H, W)).astype(np.float32)),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
