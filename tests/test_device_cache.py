@@ -243,3 +243,44 @@ def test_device_loader_matches_threads_loader(packed_root, tmp_path):
         losses[loader] = trainer.train_epoch(train_loader, logger, csv, jsonl)
         jsonl.close()
     np.testing.assert_allclose(losses["device"], losses["threads"], rtol=1e-5)
+
+
+def test_multi_device_pads_non_divisible_frame_counts(tmp_path):
+    """ADVICE r2: real datasets have arbitrary frame counts; the frame
+    axis must pad to a multiple of the mesh size before device_put, and
+    the padding must never be gathered into a batch."""
+    import imageio.v2 as imageio
+    import jax
+
+    from supervised_dispnet_tpu.data.device_cache import DeviceResidentSequence
+    from supervised_dispnet_tpu.data.packed import pack_split
+    from supervised_dispnet_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    root = tmp_path / "dump"
+    rng = np.random.default_rng(3)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    for s, n in (("scene_a", 5), ("scene_b", 6)):  # 11 frames: 11 % 8 != 0
+        d = root / s
+        d.mkdir(parents=True)
+        np.savetxt(d / "cam.txt", K)
+        for i in range(n):
+            imageio.imwrite(d / f"{i:010d}.jpg",
+                            rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+            np.save(d / f"{i:010d}.npy",
+                    rng.uniform(1, 60, (H, W)).astype(np.float32))
+    (root / "train.txt").write_text("scene_a\nscene_b\n")
+    (root / "val.txt").write_text("")
+    packed = tmp_path / "packed"
+    pack_split(root, packed, "train")
+
+    mesh = make_mesh(jax.devices()[:8])
+    cache = DeviceResidentSequence(packed, 2, train=True, sequence_length=1,
+                                   with_depth=True, seed=0, mesh=mesh)
+    assert cache.images.shape[0] == 16  # 11 padded up to 2 per device
+    assert cache.depth.shape[0] == 16
+    n_real = 11
+    for idx in cache:
+        assert (np.asarray(idx["tgt_idx"]) < n_real).all()
