@@ -260,3 +260,65 @@ def test_test_disp_cli_classification_orbax(kitti_raw_eval, tmp_path, capsys):
     last = out.strip().splitlines()[-1]
     vals = [float(v) for v in last.split()]
     assert len(vals) == 7 and all(np.isfinite(vals))
+
+
+def test_run_inference_empty_folder_int8_exits_cleanly(torch_ckpt, tmp_path):
+    """ADVICE r2: --int8 on an empty folder must take the '0 files' exit,
+    not crash in calibration on an all-zeros dummy image."""
+    from supervised_dispnet_tpu.cli.run_inference import main
+
+    src = tmp_path / "empty"
+    src.mkdir()
+    out = tmp_path / "out"
+    main([
+        "--pretrained", str(torch_ckpt), "--network", "dispnet",
+        "--dataset-dir", str(src), "--output-dir", str(out),
+        "--img-height", "32", "--img-width", "104", "--int8",
+    ])  # no exception = pass; nothing to write
+    assert not list(out.glob("*.png")) if out.exists() else True
+
+
+def test_profiler_clamps_to_short_epochs(tmp_path):
+    """ADVICE r2: profile_steps > len(epoch) must not leave a trace open
+    (the next epoch's start_trace would raise mid-training)."""
+    import imageio.v2 as imageio
+
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+    from supervised_dispnet_tpu.data.loader import BatchLoader
+    from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
+    from supervised_dispnet_tpu.utils.logging import (
+        CsvLogger, JsonlLogger, TermLogger,
+    )
+
+    H, W = 32, 64
+    root = tmp_path / "dump"
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    d = root / "scene_a"
+    d.mkdir(parents=True)
+    np.savetxt(d / "cam.txt", K)
+    for i in range(4):
+        imageio.imwrite(d / f"{i:010d}.jpg",
+                        rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+        np.save(d / f"{i:010d}.npy",
+                rng.uniform(1, 60, (H, W)).astype(np.float32))
+    (root / "train.txt").write_text("scene_a\n")
+    (root / "val.txt").write_text("")
+
+    cfg = TrainerConfig(
+        data=str(root), save_path=str(tmp_path / "run"), loss="l1",
+        network="dispnet", batch_size=2, workers=1,
+        img_height=H, img_width=W,
+        profile_steps=10,  # > the 2-batch epoch
+    )
+    trainer = Trainer(cfg, DispNetS())
+    ds = SequenceFolder(root, train=True, sequence_length=1, with_depth=True)
+    loader = BatchLoader(ds, 2, shuffle=False, num_workers=1)
+    for epoch in range(2):  # second epoch would re-enter start_trace
+        logger = TermLogger(2, len(loader), 1)
+        logger.epoch_start(epoch)
+        csv = CsvLogger(tmp_path / "run")
+        jsonl = JsonlLogger(tmp_path / "run" / "m.jsonl")
+        trainer.train_epoch(loader, logger, csv, jsonl)
+        jsonl.close()
