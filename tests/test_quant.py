@@ -289,3 +289,42 @@ def test_fake_quant_composes_with_bf16_trunk():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_selfsup_step_fake_quant_trains():
+    """QAT on the selfsup disp net (the pose net stays fp): finite
+    decreasing loss through warp + STE."""
+    import optax
+
+    from supervised_dispnet_tpu.data.augment import AugmentConfig
+    from supervised_dispnet_tpu.models import PoseExpNet
+    from supervised_dispnet_tpu.training import (
+        create_train_state, make_selfsup_train_step,
+    )
+
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt0,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+    )
+    no_aug = AugmentConfig(flip=False, scale_crop=False, color_jitter=False)
+    step = make_selfsup_train_step(disp, pose, nb_ref_imgs=2, aug=no_aug,
+                                   donate=False, fake_quant=True)
+    rng = np.random.default_rng(2)
+    B = 2
+    batch = {
+        "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "ref_imgs": jnp.asarray(
+            rng.uniform(0, 1, (B, 2, H, W, 3)).astype(np.float32)),
+        "intrinsics": jnp.asarray(np.broadcast_to(
+            np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                     np.float32), (B, 3, 3)).copy()),
+    }
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
