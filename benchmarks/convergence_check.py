@@ -93,7 +93,7 @@ def run_selfsup(args) -> None:
     # down, held-out abs_rel up).
     step = make_selfsup_train_step(
         disp_model, pose_model, nb_ref_imgs=cfg.nb_refs,
-        aug=AugmentConfig(), donate=False,
+        aug=AugmentConfig(), donate=False, fake_quant=args.qat,
     )
 
     # pre-render a pool of snippets and upload ONCE (uint8 transport);
@@ -202,9 +202,10 @@ def main() -> None:
                          "(0 = auto; augmentation multiplies diversity)")
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--qat", action="store_true",
-                    help="supervised: quantization-aware training (fake-"
-                         "quant convs); pair with --save + quant_bench "
-                         "--checkpoint to measure the int8 quality win")
+                    help="quantization-aware training (fake-quant convs; "
+                         "selfsup: disp net only); pair with --save + "
+                         "quant_bench --checkpoint to measure the int8 "
+                         "quality win")
     ap.add_argument("--init-from", default=None, metavar="DIR",
                     help="supervised: warm-start params+BN from an orbax "
                          "checkpoint (fp train -> --qat fine-tune recipe)")

@@ -61,7 +61,9 @@ def main() -> None:
 
     enable_compile_cache()
 
-    model = get_disp_net(args.network).clone(dtype=jnp.bfloat16)
+    model = get_disp_net(args.network)
+    if hasattr(model, "dtype"):  # DispVggBN has no bf16-trunk knob
+        model = model.clone(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (args.batch, args.height, args.width, 3),
                            jnp.float32)
