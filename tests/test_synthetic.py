@@ -179,3 +179,37 @@ def test_scaled_abs_rel_ignores_global_scale():
     g = np.random.default_rng(5).uniform(2, 20, (2, 8, 8))
     assert scaled_abs_rel(g * 4.2, g) < 1e-6
     assert scaled_abs_rel(g * np.random.default_rng(6).uniform(0.5, 2, g.shape), g) > 0.05
+
+
+def test_render_sequence_rotating_pose_matrix_warp():
+    """Rotating trajectory: the relative transform recovered from the
+    cam-to-world poses.txt rows must reproduce frame i from frame i+1
+    through the warp primitives (matrix path — no euler round trip), so
+    the dump's pose convention is pinned including rotation."""
+    from supervised_dispnet_tpu.ops.sampling import bilinear_sample
+    from supervised_dispnet_tpu.ops.warp import cam2pixel, pixel2cam
+
+    cfg = PlaneSceneConfig(height=64, width=128, focal=100.0, room=True,
+                           fg_planes=0, rot=0.04)
+    seq = render_sequence(np.random.default_rng(2), 4, cfg)
+    K = seq["intrinsics"].astype(np.float64)
+    for i in range(3):
+        P_i, P_j = seq["poses"][i].astype(np.float64), \
+            seq["poses"][i + 1].astype(np.float64)
+        # cam-to-world [R_cw | t_cw] -> world-to-cam, then relative i->j
+        R_wc_i, t_wc_i = P_i[:, :3].T, -P_i[:, :3].T @ P_i[:, 3]
+        R_wc_j, t_wc_j = P_j[:, :3].T, -P_j[:, :3].T @ P_j[:, 3]
+        R_rel = R_wc_j @ R_wc_i.T
+        t_rel = t_wc_j - R_rel @ t_wc_i
+        cam = pixel2cam(jnp.asarray(seq["depth"][i][None]),
+                        jnp.asarray(np.linalg.inv(K)[None].astype(np.float32)))
+        proj = K @ np.concatenate([R_rel, t_rel[:, None]], 1)
+        x, y, valid = cam2pixel(
+            cam,
+            jnp.asarray(proj[:, :3][None].astype(np.float32)),
+            jnp.asarray(proj[:, 3:][None].astype(np.float32)))
+        warped = bilinear_sample(jnp.asarray(seq["frames"][i + 1][None]), x, y)
+        err = np.abs(np.asarray(warped[0]) - seq["frames"][i])
+        v = np.asarray(valid[0])
+        assert v.mean() > 0.6, v.mean()
+        assert np.median(err[v]) < 0.03, np.median(err[v])
