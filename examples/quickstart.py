@@ -121,6 +121,47 @@ def main() -> None:
     print("=> served artifact reproduces the in-process forward "
           f"(median rel diff {np.median(rel):.2e})")
 
+    # 6. QAT fine-tune (the zero-cost int8 serving recipe, docs/QUANT.md):
+    # warm-start from the fp best checkpoint, train 1 epoch through the
+    # int8 quantization grid, then bake an int8 serving artifact
+    from supervised_dispnet_tpu.utils.checkpoint import restore_checkpoint
+
+    print("=> QAT fine-tune (1 epoch)")
+    qat_cfg = TrainerConfig(
+        data=str(data), save_path=str(args.workdir / "run_qat"), loss="berhu",
+        epochs=1, batch_size=4, workers=2,
+        img_height=H, img_width=W, lr=1e-4, qat=True,
+    )
+    qat_trainer = Trainer(qat_cfg, DispResNet(encoder_depth=18))
+    qat_trainer.state = restore_checkpoint(save, qat_trainer.state, best=True)
+    qat_best = qat_trainer.fit()
+    print(f"=> QAT val abs_rel: {qat_best:.4f} (fp was {best:.4f})")
+    qat_trainer.restore_best()
+
+    # int8 export: calibrate on a val batch (QAT weights prefer plain
+    # absmax — it is what training simulated), bake scales + int8 weights
+    from supervised_dispnet_tpu.data.augment import normalize_images as _norm
+    from supervised_dispnet_tpu.ops.quant import calibrate_conv_ranges
+
+    qat_vars = {"params": qat_trainer.state.params["disp"],
+                "batch_stats": qat_trainer.state.batch_stats["disp"]}
+    calib_x = np.asarray(_norm(
+        np.stack([val[i]["img"] for i in range(min(4, len(val)))]),
+        qat_trainer.aug.mean, qat_trainer.aug.std))
+    ranges = calibrate_conv_ranges(qat_trainer.disp_model, qat_vars, [calib_x])
+    int8_artifact = args.workdir / "dispresnet18_int8.stablehlo"
+    export_forward(qat_trainer.disp_model, qat_vars, int8_artifact,
+                   batch_size=1, img_height=H, img_width=W,
+                   int8_ranges=ranges)
+    served_int8 = load_forward(int8_artifact)
+    got8 = np.asarray(served_int8(xn))
+    ref8 = np.asarray(qat_trainer.predict(x))
+    rel8 = np.abs(got8[..., 0] / ref8 - 1.0)
+    assert np.median(rel8) < 0.05, f"int8 artifact diverged: {np.median(rel8)}"
+    print(f"=> int8 serving artifact: {int8_artifact} "
+          f"({int8_artifact.stat().st_size // 1024} KiB, "
+          f"median rel diff vs fp forward {np.median(rel8):.2e})")
+
 
 if __name__ == "__main__":
     main()
