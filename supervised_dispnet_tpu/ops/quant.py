@@ -175,20 +175,29 @@ def calibrate_conv_ranges(
     return ranges
 
 
-def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float) -> jax.Array:
-    params = module.variables["params"]
-    kernel = params["kernel"].astype(jnp.float32)  # (kh, kw, Cin, Cout)
+def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float,
+               baked_entry=None) -> jax.Array:
     in_scale = jnp.float32(in_absmax / 127.0)
-    w_scale = jnp.maximum(
-        jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0  # (Cout,)
+    if baked_entry is not None:
+        # export path: pre-quantized (wq, w_scale, bias) — the fp32
+        # kernel is never read, so it never enters the traced artifact
+        wq, w_scale, bias = baked_entry
+        wq = jnp.asarray(wq)
+        w_scale = jnp.asarray(w_scale)
+    else:
+        params = module.variables["params"]
+        kernel = params["kernel"].astype(jnp.float32)  # (kh, kw, Cin, Cout)
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0  # (Cout,)
+        wq = jnp.round(kernel / w_scale).astype(jnp.int8)
+        bias = params["bias"] if module.use_bias else None
 
     xq = jnp.round(
         jnp.clip(x.astype(jnp.float32) / in_scale, -127.0, 127.0)
     ).astype(jnp.int8)
-    wq = jnp.round(kernel / w_scale).astype(jnp.int8)
 
     dn = lax.conv_dimension_numbers(
-        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        x.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         xq, wq,
         window_strides=_canon_strides(module.strides, module.kernel_size),
@@ -197,8 +206,8 @@ def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float) -> jax.Array:
         preferred_element_type=jnp.int32,
     )
     out = out.astype(jnp.float32) * (in_scale * w_scale)
-    if module.use_bias:
-        out = out + params["bias"].astype(jnp.float32)
+    if bias is not None:
+        out = out + jnp.asarray(bias).astype(jnp.float32)
     return out.astype(x.dtype)
 
 
@@ -310,9 +319,11 @@ def _encoder_chain_keys(enc) -> list[str]:
     return keys
 
 
-def _int8_chain_encoder(enc, x, ranges):
+def _int8_chain_encoder(enc, x, ranges, baked=None):
     """ResNetEncoder eval forward, int8 end-to-end; returns the 5 fp
-    feature maps (the decoder consumes those through per-conv int8)."""
+    feature maps (the decoder consumes those through per-conv int8).
+    With ``baked`` (bake_int8_weights), the pre-quantized BN-folded
+    weights are used and the fp32 params are never read."""
     p = enc.variables["params"]
     s = enc.variables.get("batch_stats", {})
     base = "/".join(enc.path)
@@ -320,12 +331,18 @@ def _int8_chain_encoder(enc, x, ranges):
     out_dtype = enc.dtype or x.dtype
     blocks, bottleneck = _encoder_plan(enc)
 
+    def eff(pp, ss, conv_name, bn_name, full_key):
+        if baked is not None and full_key + "::eff" in baked:
+            wq, ws_, be = baked[full_key + "::eff"]
+            return jnp.asarray(wq), jnp.asarray(ws_), jnp.asarray(be)
+        return _conv_eff(pp, ss, conv_name, bn_name, enc.fold_bn)
+
     feats = []
     # stem: conv 7x7/2 + BN + relu, requantized with layer1_0/conv1's
     # calibrated input range (the maxpool keeps the max, so the pre- and
     # post-pool absmax agree for the post-relu tensor)
     xq, s_in = _quantize_fp(x, ranges[key("conv1")])
-    wq, ws, b = _conv_eff(p, s, "conv1", "bn1", enc.fold_bn)
+    wq, ws, b = eff(p, s, "conv1", "bn1", key("conv1"))
     acc = _conv_q(xq, wq, 2, 3)
     hq, s_h = _requant(acc, s_in * ws, b, ranges[key("layer1_0", "conv1")])
     feats.append((hq.astype(jnp.float32) * s_h).astype(out_dtype))  # 1/2
@@ -336,23 +353,23 @@ def _int8_chain_encoder(enc, x, ranges):
         kb = lambda n: key(name, n)  # noqa: E731
         out_range = ranges[key(name) + "::out"]
         if bottleneck:
-            wq1, ws1, b1 = _conv_eff(bp, bs, "conv1", "bn1", enc.fold_bn)
+            wq1, ws1, b1 = eff(bp, bs, "conv1", "bn1", kb("conv1"))
             h, s1 = _requant(_conv_q(hq, wq1, 1, 0), s_h * ws1, b1,
                              ranges[kb("conv2")])
-            wq2, ws2, b2 = _conv_eff(bp, bs, "conv2", "bn2", enc.fold_bn)
+            wq2, ws2, b2 = eff(bp, bs, "conv2", "bn2", kb("conv2"))
             h, s2 = _requant(_conv_q(h, wq2, stride, 1), s1 * ws2, b2,
                              ranges[kb("conv3")])
-            wq3, ws3, b3 = _conv_eff(bp, bs, "conv3", "bn3", enc.fold_bn)
+            wq3, ws3, b3 = eff(bp, bs, "conv3", "bn3", kb("conv3"))
             main = _conv_q(h, wq3, 1, 0).astype(jnp.float32) * (s2 * ws3) + b3
         else:
-            wq1, ws1, b1 = _conv_eff(bp, bs, "conv1", "bn1", enc.fold_bn)
+            wq1, ws1, b1 = eff(bp, bs, "conv1", "bn1", kb("conv1"))
             h, s1 = _requant(_conv_q(hq, wq1, stride, 1), s_h * ws1, b1,
                              ranges[kb("conv2")])
-            wq2, ws2, b2 = _conv_eff(bp, bs, "conv2", "bn2", enc.fold_bn)
+            wq2, ws2, b2 = eff(bp, bs, "conv2", "bn2", kb("conv2"))
             main = _conv_q(h, wq2, 1, 1).astype(jnp.float32) * (s1 * ws2) + b2
         if "downsample_conv" in bp:
-            wqd, wsd, bd = _conv_eff(bp, bs, "downsample_conv",
-                                     "downsample_bn", enc.fold_bn)
+            wqd, wsd, bd = eff(bp, bs, "downsample_conv",
+                               "downsample_bn", kb("downsample_conv"))
             idn = (_conv_q(hq, wqd, stride, 0).astype(jnp.float32)
                    * (s_h * wsd) + bd)
         else:
@@ -390,6 +407,111 @@ def _bf16_disp_head(module, x):
         dimension_numbers=_dn(xb.shape, w.shape),
     ).astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return module.alpha * jax.nn.sigmoid(out) + module.beta
+
+
+# ---------------------------------------------------------------------------
+# int8 weight baking for export (round 3)
+#
+# ``quantized_apply`` quantizes weights at TRACE time from the fp32
+# params, so an exported StableHLO artifact embeds the fp32 kernels as
+# constants (full-size artifact; quantization folds at serving-compile
+# time). ``bake_int8_weights`` pre-computes every quantized kernel +
+# scale once, and ``quantized_apply(..., baked=...)`` consumes them
+# instead of reading the fp32 params — the trace never touches the fp32
+# kernels, so the artifact stores int8 constants (~4x smaller on conv
+# weights) and the serving math is unchanged (same wq/scale values).
+# ---------------------------------------------------------------------------
+
+
+def _np_quant_kernel(kernel):
+    import numpy as np
+
+    kernel = np.asarray(kernel, np.float32)
+    w_scale = (np.maximum(np.abs(kernel).max((0, 1, 2)), 1e-12)
+               / 127.0).astype(np.float32)
+    wq = np.round(kernel / w_scale).astype(np.int8)
+    return wq, w_scale
+
+
+def _np_conv_eff(p, s, conv_name, bn_name, fold_bn):
+    """numpy twin of ``_conv_eff`` (the bake pass runs under eval_shape,
+    where jnp ops would trace — numpy keeps it concrete)."""
+    import numpy as np
+
+    W = np.asarray(p[conv_name]["kernel"], np.float32)
+    if fold_bn:
+        beff = (np.asarray(p[conv_name]["bias"], np.float32)
+                if "bias" in p[conv_name] else np.zeros((W.shape[-1],),
+                                                        np.float32))
+    else:
+        bn_p, bn_s = p[bn_name], s[bn_name]
+        a = (np.asarray(bn_p["scale"], np.float32)
+             / np.sqrt(np.asarray(bn_s["var"], np.float32) + 1e-5))
+        beff = (np.asarray(bn_p["bias"], np.float32)
+                - a * np.asarray(bn_s["mean"], np.float32))
+        W = W * a
+    wq, w_scale = _np_quant_kernel(W)
+    return wq, w_scale, beff
+
+
+def bake_int8_weights(
+    model,
+    variables,
+    ranges: dict[str, float],
+    exempt: Callable[[nn.Module], bool] | None = None,
+) -> dict:
+    """Pre-quantize every weight ``quantized_apply`` would quantize.
+
+    Returns a dict the ``baked=`` argument of :func:`quantized_apply`
+    consumes: ``{conv_path: (wq, w_scale, bias|None)}`` for per-conv
+    int8, plus ``{conv_path + "::eff": (wq, w_scale, beff)}`` for the
+    BN-folded int8-through encoder chain. Runs under ``jax.eval_shape``
+    (zero device compute — safe on a disconnected backend)."""
+    import numpy as np
+
+    from supervised_dispnet_tpu.models.common import apply_model
+    from supervised_dispnet_tpu.models.resnet import ResNetEncoder
+
+    baked: dict = {}
+
+    def rec(next_fun, fargs, fkwargs, context):
+        m = context.module
+        if (type(m) is ResNetEncoder and context.method_name == "__call__"
+                and exempt is None
+                and all(k in ranges for k in _encoder_chain_keys(m))):
+            base = "/".join(m.path)
+            key = lambda *n: "/".join(((base,) if base else ()) + n)  # noqa: E731
+            p = m.variables["params"]
+            s = m.variables.get("batch_stats", {})
+            blocks, bottleneck = _encoder_plan(m)
+            baked[key("conv1") + "::eff"] = _np_conv_eff(
+                p, s, "conv1", "bn1", m.fold_bn)
+            for name, _, _, _ in blocks:
+                bp, bs = p[name], s.get(name, {})
+                convs = [("conv1", "bn1"), ("conv2", "bn2")]
+                if bottleneck:
+                    convs.append(("conv3", "bn3"))
+                if "downsample_conv" in bp:
+                    convs.append(("downsample_conv", "downsample_bn"))
+                for conv_name, bn_name in convs:
+                    baked[key(name, conv_name) + "::eff"] = _np_conv_eff(
+                        bp, bs, conv_name, bn_name, m.fold_bn)
+        elif _is_quantizable(m, context.method_name, exempt):
+            pth = _conv_path(m)
+            if pth in ranges and pth not in baked:
+                params = m.variables["params"]
+                wq, w_scale = _np_quant_kernel(params["kernel"])
+                bias = (np.asarray(params["bias"], np.float32)
+                        if m.use_bias else None)
+                baked[pth] = (wq, w_scale, bias)
+        return next_fun(*fargs, **fkwargs)
+
+    def fwd(x):
+        with nn.intercept_methods(rec):
+            return apply_model(model, variables, x)
+
+    jax.eval_shape(fwd, jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32))
+    return baked
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +588,7 @@ def quantized_apply(
     *args,
     ranges: dict[str, float],
     exempt: Callable[[nn.Module], bool] | None = None,
+    baked: dict | None = None,
 ):
     """Eval-mode forward with every calibrated conv running int8.
 
@@ -475,6 +598,8 @@ def quantized_apply(
     keys (round-3 calibrations) and no ``exempt`` predicate is given,
     ResNet encoders run as a fused int8-in/int8-out chain
     (``_int8_chain_encoder``) instead of per-conv interception.
+    ``baked`` (from :func:`bake_int8_weights`) supplies pre-quantized
+    weights so a traced export never reads the fp32 kernels.
     """
     from supervised_dispnet_tpu.models.common import DispHead
     from supervised_dispnet_tpu.models.resnet import ResNetEncoder
@@ -487,7 +612,8 @@ def quantized_apply(
                 and not train
                 and all(k in ranges
                         for k in _encoder_chain_keys(context.module))):
-            return _int8_chain_encoder(context.module, fargs[0], ranges)
+            return _int8_chain_encoder(context.module, fargs[0], ranges,
+                                       baked=baked)
         if (type(context.module) is DispHead
                 and context.method_name == "__call__" and exempt is None
                 and ranges):  # empty ranges = identity contract
@@ -495,7 +621,9 @@ def quantized_apply(
         if _is_quantizable(context.module, context.method_name, exempt):
             p = _conv_path(context.module)
             if p in ranges:
-                return _int8_conv(context.module, fargs[0], ranges[p])
+                entry = baked.get(p) if baked is not None else None
+                return _int8_conv(context.module, fargs[0], ranges[p],
+                                  baked_entry=entry)
         return next_fun(*fargs, **fkwargs)
 
     with nn.intercept_methods(q_interceptor):

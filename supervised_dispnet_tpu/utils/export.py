@@ -27,19 +27,28 @@ def export_forward(
     """Serialize model.apply(variables, x)[finest] for fixed input shape.
 
     With ``int8_ranges`` (from ``ops.quant.calibrate_conv_ranges``), the
-    exported program runs the int8 PTQ path — the quantized weights and
-    scales are baked into the StableHLO artifact, so the serving process
-    needs neither the model code nor the calibration data.
+    exported program runs the int8 PTQ path with the weights PRE-quantized
+    (``ops.quant.bake_int8_weights``): the artifact stores int8 kernel
+    constants + fp scales — the fp32 kernels are never read by the trace,
+    so the artifact is ~4x smaller on conv weights — and the serving
+    process needs neither the model code nor the calibration data.
     """
     from jax import export as jax_export
 
     from supervised_dispnet_tpu.models.common import apply_model
 
+    baked = None
+    if int8_ranges is not None:
+        from supervised_dispnet_tpu.ops.quant import bake_int8_weights
+
+        baked = bake_int8_weights(model, variables, int8_ranges)
+
     def forward(x):
         if int8_ranges is not None:
             from supervised_dispnet_tpu.ops.quant import quantized_apply
 
-            out = quantized_apply(model, variables, x, ranges=int8_ranges)
+            out = quantized_apply(model, variables, x, ranges=int8_ranges,
+                                  baked=baked)
         else:
             out = apply_model(model, variables, x)
         if isinstance(out, (list, tuple)):

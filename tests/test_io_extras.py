@@ -129,3 +129,41 @@ def test_tensor2array_and_png(tmp_path):
 
     loaded = imageio.imread(tmp_path / "d.png")
     assert loaded.shape[:2] == (16, 24)
+
+
+def test_export_int8_bakes_weights_smaller_artifact(tmp_path):
+    """Round 3: the int8 artifact must store int8 kernel constants (the
+    fp32 kernels are never read by the trace), so it is much smaller
+    than the fp export — and the chain-encoder (DispResNet) baked path
+    matches the non-baked quantized forward."""
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.ops.quant import (
+        calibrate_conv_ranges, quantized_apply,
+    )
+    from supervised_dispnet_tpu.utils.export import export_forward, load_forward
+
+    model = DispResNet(encoder_depth=18)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+
+    fp_path = tmp_path / "res18.stablehlo"
+    export_forward(model, variables, fp_path, batch_size=1,
+                   img_height=H, img_width=W)
+    q_path = tmp_path / "res18_int8.stablehlo"
+    export_forward(model, variables, q_path, batch_size=1,
+                   img_height=H, img_width=W, int8_ranges=ranges)
+    # conv kernels dominate the artifact; int8 storage must shrink it a lot
+    assert q_path.stat().st_size < 0.55 * fp_path.stat().st_size, (
+        q_path.stat().st_size, fp_path.stat().st_size)
+
+    got = np.asarray(load_forward(q_path)(x))
+    ref = np.asarray(jax.jit(
+        lambda xx: quantized_apply(model, variables, xx, ranges=ranges)[0]
+    )(x))
+    # baked BN-folded weights quantize from numpy fp32 exactly like the
+    # traced path does from jnp; only fp associativity noise remains
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=1e-4)
+    med = np.median(np.abs(got / ref - 1.0))
+    assert med < 2e-3, med
