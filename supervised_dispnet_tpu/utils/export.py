@@ -19,12 +19,18 @@ def export_forward(
     model,
     variables,
     path: str | Path,
-    batch_size: int = 1,
+    batch_size: int | str = 1,
     img_height: int = 128,
     img_width: int = 416,
     int8_ranges: dict | None = None,
 ) -> None:
-    """Serialize model.apply(variables, x)[finest] for fixed input shape.
+    """Serialize model.apply(variables, x)[finest] as a serving artifact.
+
+    ``batch_size`` is an int for a fixed-shape program, or ``"dynamic"``
+    for a batch-polymorphic one (jax.export symbolic shapes): a single
+    artifact then serves any batch size — the production contract, since
+    request batching varies at runtime. H/W stay static (the CNN's
+    resolution is a model property; XLA tiling wants them fixed).
 
     With ``int8_ranges`` (from ``ops.quant.calibrate_conv_ranges``), the
     exported program runs the int8 PTQ path with the weights PRE-quantized
@@ -55,6 +61,8 @@ def export_forward(
             return out[0]
         return out
 
+    if batch_size == "dynamic":
+        (batch_size,) = jax_export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct(
         (batch_size, img_height, img_width, 3), jnp.float32
     )

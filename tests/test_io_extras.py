@@ -167,3 +167,26 @@ def test_export_int8_bakes_weights_smaller_artifact(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=1e-4)
     med = np.median(np.abs(got / ref - 1.0))
     assert med < 2e-3, med
+
+
+def test_export_dynamic_batch(tmp_path):
+    """batch_size='dynamic' (jax.export symbolic shapes): one artifact
+    serves any batch size, int8 baked path included."""
+    from supervised_dispnet_tpu.models import DispNetS
+    from supervised_dispnet_tpu.ops.quant import calibrate_conv_ranges
+    from supervised_dispnet_tpu.utils.export import export_forward, load_forward
+
+    model = DispNetS()
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x1)
+    ranges = calibrate_conv_ranges(model, variables, [x1])
+
+    path = tmp_path / "dyn_int8.stablehlo"
+    export_forward(model, variables, path, batch_size="dynamic",
+                   img_height=H, img_width=W, int8_ranges=ranges)
+    fn = load_forward(path)
+    for B in (1, 3):
+        out = np.asarray(fn(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)))
+        assert out.shape == (B, H, W, 1)
+        assert np.isfinite(out).all() and (out > 0).all()
