@@ -70,9 +70,44 @@ def export_forward(
     Path(path).write_bytes(exported.serialize())
 
 
+def export_pose_forward(
+    model,
+    variables,
+    path: str | Path,
+    nb_ref_imgs: int = 2,
+    batch_size: int | str = 1,
+    img_height: int = 128,
+    img_width: int = 416,
+) -> None:
+    """Serialize the pose net for odometry serving.
+
+    The artifact takes ``(tgt (B, H, W, 3), refs (B, R, H, W, 3))`` and
+    returns the ``(B, R, 6)`` target->ref 6-DoF poses (the convention
+    ``test_pose.py`` consumes). ``batch_size`` works like
+    :func:`export_forward` (int or ``"dynamic"``)."""
+    from jax import export as jax_export
+
+    def forward(tgt, refs):
+        out = model.apply({"params": variables["params"]}, tgt,
+                          [refs[:, i] for i in range(nb_ref_imgs)])
+        # PoseExpNet returns (exp_masks, pose); PoseNet returns pose
+        return out[1] if isinstance(out, tuple) else out
+
+    if batch_size == "dynamic":
+        (batch_size,) = jax_export.symbolic_shape("b")
+    tgt_spec = jax.ShapeDtypeStruct(
+        (batch_size, img_height, img_width, 3), jnp.float32)
+    refs_spec = jax.ShapeDtypeStruct(
+        (batch_size, nb_ref_imgs, img_height, img_width, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(forward))(tgt_spec, refs_spec)
+    Path(path).write_bytes(exported.serialize())
+
+
 def load_forward(path: str | Path):
-    """Deserialize an exported forward; returns a callable(x) -> disparity."""
+    """Deserialize an exported forward; returns a callable reproducing the
+    exported signature (disp: (x) -> disparity; pose: (tgt, refs) ->
+    poses)."""
     from jax import export as jax_export
 
     exported = jax_export.deserialize(Path(path).read_bytes())
-    return lambda x: exported.call(x)
+    return lambda *args: exported.call(*args)

@@ -190,3 +190,31 @@ def test_export_dynamic_batch(tmp_path):
         out = np.asarray(fn(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)))
         assert out.shape == (B, H, W, 1)
         assert np.isfinite(out).all() and (out > 0).all()
+
+
+def test_export_pose_forward(tmp_path):
+    """Pose-net serving artifact: (tgt, refs) -> (B, R, 6) poses, matching
+    the in-process forward; dynamic batch supported."""
+    from supervised_dispnet_tpu.models import PoseExpNet
+    from supervised_dispnet_tpu.utils.export import (
+        export_pose_forward, load_forward,
+    )
+
+    model = PoseExpNet(nb_ref_imgs=2, output_exp=False)
+    rng = np.random.default_rng(4)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32))
+    refs = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), tgt, [refs[:, 0], refs[:, 1]])
+
+    path = tmp_path / "pose.stablehlo"
+    export_pose_forward(model, variables, path, nb_ref_imgs=2,
+                        batch_size="dynamic", img_height=H, img_width=W)
+    fn = load_forward(path)
+    got = np.asarray(fn(tgt, refs))
+    _, ref_pose = model.apply(variables, tgt, [refs[:, 0], refs[:, 1]])
+    np.testing.assert_allclose(got, np.asarray(ref_pose), rtol=1e-4, atol=1e-6)
+    # dynamic batch: B=3 works from the same artifact
+    out3 = np.asarray(fn(
+        rng.uniform(-1, 1, (3, H, W, 3)).astype(np.float32),
+        rng.uniform(-1, 1, (3, 2, H, W, 3)).astype(np.float32)))
+    assert out3.shape == (3, 2, 6)
