@@ -142,13 +142,17 @@ def main() -> None:
     # training-domain val batch instead of random noise
     model32 = get_disp_net(args.network)
     small = synth_val[0] if synth_val is not None else x[:16]
-    d_fp = np.asarray(apply_model(model32, variables, small)[0],
+
+    def finest(out):
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    d_fp = np.asarray(finest(apply_model(model32, variables, small)),
                       dtype=np.float32)
     d_q = np.asarray(
-        jax.jit(lambda v, xx: quantized_apply(
-            model32, v, xx, ranges=calib, exempt=exempt)[0]
+        jax.jit(lambda v, xx: finest(quantized_apply(
+            model32, v, xx, ranges=calib, exempt=exempt))
         )(variables, small), dtype=np.float32)
-    rel = np.abs(d_q - d_fp) / np.abs(d_fp)
+    rel = np.abs(d_q - d_fp) / np.maximum(np.abs(d_fp), 1e-12)
 
     result = {
         "metric": "int8_ptq_inference",
@@ -169,9 +173,10 @@ def main() -> None:
         # eval-step decode, train_step.py::make_eval_step)
         gt = synth_val[1]
         mask = (gt > 0) & (gt < 80.0)
+        direct_depth = args.network == "fcrn"  # metric depth, no 1/d
 
         def abs_rel_of(d):
-            depth = 1.0 / d[..., 0]
+            depth = d[..., 0] if direct_depth else 1.0 / d[..., 0]
             return float(np.mean(np.abs(depth[mask] - gt[mask]) / gt[mask]))
 
         result["abs_rel_fp32"] = round(abs_rel_of(d_fp), 5)

@@ -81,6 +81,12 @@ def _canon_strides(strides, kernel_size):
     return tuple(strides)
 
 
+def _canon_dilation(dilation, kernel_size):
+    """flax nn.Conv dilation -> the lhs/rhs_dilation sequence
+    lax.conv_general_dilated expects (None / int / per-dim sequence)."""
+    return _canon_strides(dilation, kernel_size)
+
+
 def _is_quantizable(module: nn.Module, method_name: str,
                     exempt: Callable[[nn.Module], bool] | None) -> bool:
     if not type(module) is nn.Conv or method_name != "__call__":
@@ -89,18 +95,6 @@ def _is_quantizable(module: nn.Module, method_name: str,
         return False  # no grouped convs in this family; bail safely
     if module.features == 1:
         return False  # disparity heads stay fp
-    # Dilated convs (FCRN's input_dilation=2 unpool convs) stay fp:
-    # _int8_conv does not forward lhs/rhs dilation, so quantizing one
-    # would silently change the geometry, not just the precision.
-    def _dilated(d):
-        if d is None:
-            return False
-        if isinstance(d, int):
-            return d != 1
-        return any(v != 1 for v in d)
-
-    if _dilated(module.input_dilation) or _dilated(module.kernel_dilation):
-        return False
     if exempt is not None and exempt(module):
         return False
     return True
@@ -202,6 +196,10 @@ def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float,
         xq, wq,
         window_strides=_canon_strides(module.strides, module.kernel_size),
         padding=_canon_padding(module.padding, module.kernel_size),
+        lhs_dilation=_canon_dilation(module.input_dilation,
+                                     module.kernel_size),
+        rhs_dilation=_canon_dilation(module.kernel_dilation,
+                                     module.kernel_size),
         dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
@@ -557,6 +555,10 @@ def _fake_quant_conv(module: nn.Conv, x: jax.Array) -> jax.Array:
         xq, wq,
         window_strides=_canon_strides(module.strides, module.kernel_size),
         padding=_canon_padding(module.padding, module.kernel_size),
+        lhs_dilation=_canon_dilation(module.input_dilation,
+                                     module.kernel_size),
+        rhs_dilation=_canon_dilation(module.kernel_dilation,
+                                     module.kernel_size),
         dimension_numbers=dn,
     )
     if module.use_bias:

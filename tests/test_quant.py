@@ -131,25 +131,54 @@ def test_dispresnet_bn_model_quantizes():
     assert np.median(rel) < 0.05
 
 
-def test_dilated_convs_excluded():
-    """FCRN's input-dilated unpool convs must stay fp: _int8_conv does not
-    forward dilation, so quantizing one would change the conv's geometry
-    (ADVICE r2 medium). Calibration must skip them entirely."""
+def test_dilated_unpool_conv_quantizes_with_exact_geometry():
+    """Round 3 makes FCRN's input-dilated unpool convs quantizable:
+    _int8_conv forwards lhs/rhs dilation (the ADVICE r2 geometry hazard is
+    now a parity property, not an exclusion). The quantized UpProjection
+    must match the fp block in SHAPE (dilation preserved) and value
+    (int8-noise-level error)."""
+    from supervised_dispnet_tpu.models.fcrn import UpProjection
+
+    block = UpProjection(features=16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, H // 4, W // 4, 32), jnp.float32)
+    variables = block.init(rng, x)
+    ranges = calibrate_conv_ranges(block, variables, [x])
+    dilated = sorted(p for p in ranges
+                     if p.split("/")[-1] in ("conv_a", "conv_b"))
+    assert dilated == ["conv_a", "conv_b"], ranges
+    fp = np.asarray(block.apply(variables, x, train=False))
+    q = np.asarray(jax.jit(
+        lambda v, xx: quantized_apply(block, v, xx, ranges=ranges)
+    )(variables, x))
+    assert q.shape == fp.shape  # (B, 2*Hin, 2*Win, 16): dilation upheld
+    assert fp.shape[1] == 2 * x.shape[1] and fp.shape[2] == 2 * x.shape[2]
+    # the block ends in a relu, so most entries are exact zeros on both
+    # sides; measure relative error on the live activations only
+    live = np.abs(fp) > 0.01 * float(np.abs(fp).mean())
+    rel = np.abs(q - fp)[live] / np.abs(fp)[live]
+    assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_fcrn_full_model_quantizes():
+    """The whole FCRN runs through the int8 path (encoder chain + dilated
+    decoder convs); the metric-depth head (features==1) stays fp. Output
+    geometry identical; values finite and int8-noise-close on the
+    up-projection trunk."""
     from supervised_dispnet_tpu.models import FCRN
 
-    model = FCRN(encoder_depth=18) if hasattr(FCRN, "encoder_depth") else FCRN()
+    model = FCRN(encoder_depth=50)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
     variables = model.init(rng, x)
     ranges = calibrate_conv_ranges(model, variables, [x])
-    dilated = [p for p in ranges
-               if p.split("/")[-1] in ("conv_a", "conv_b")
-               and "/up" in "/" + p]
-    assert dilated == [], f"dilated unpool convs were calibrated: {dilated}"
-    # the quantized forward still runs and stays close to fp32
-    fp = model.apply(variables, x, train=False)
-    q = quantized_apply(model, variables, x, ranges=ranges)
-    assert np.asarray(q).shape == np.asarray(fp).shape
+    assert any(p.split("/")[-1] in ("conv_a", "conv_b") for p in ranges)
+    fp = np.asarray(model.apply(variables, x, train=False))
+    q = np.asarray(jax.jit(
+        lambda v, xx: quantized_apply(model, v, xx, ranges=ranges)
+    )(variables, x))
+    assert q.shape == fp.shape
+    assert np.all(np.isfinite(q))
 
 
 def test_encoder_chain_parity_resnet50():
