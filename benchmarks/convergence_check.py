@@ -245,7 +245,7 @@ def main() -> None:
         make_supervised_train_step,
     )
 
-    H, W, B = 128, 416, args.batch
+    H, W, B = args.height, args.width, args.batch
     rng = np.random.default_rng(0)
     classification = args.loss == "classification"
     model = get_disp_net(

@@ -259,12 +259,19 @@ def make_supervised_train_step(
                 else:
                     loss = ce_fn(out, depth_gt, mask, bins)
             else:
-                depths = disps_to_depths(out)
                 fn = sup_losses[loss_name]
-                if multiscale:
-                    loss = multiscale_supervised_loss(depths, depth_gt, mask, fn)
+                if not isinstance(out, (list, tuple)):
+                    # FCRN-style direct metric depth, single scale (the
+                    # eval-step decode at train_step.py::make_eval_step;
+                    # Laina et al. train FCRN with BerHu on depth)
+                    loss = fn(out[..., 0], depth_gt, mask)
                 else:
-                    loss = fn(depths[0], depth_gt, mask)
+                    depths = disps_to_depths(out)
+                    if multiscale:
+                        loss = multiscale_supervised_loss(
+                            depths, depth_gt, mask, fn)
+                    else:
+                        loss = fn(depths[0], depth_gt, mask)
             return loss, new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -49,6 +49,27 @@ def test_supervised_step_berhu_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+def test_supervised_step_fcrn_direct_depth():
+    """FCRN trains through the supervised step: its single-scale direct
+    metric-depth output takes the non-list branch (BerHu on depth, no 1/d
+    decode — the Laina et al. objective; reference: ``models/FCRN.py`` +
+    ``train.py`` depth losses)."""
+    from supervised_dispnet_tpu.models import FCRN
+
+    model = FCRN(encoder_depth=18)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step = make_supervised_train_step(model, "berhu", aug=NO_AUG, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(B=4).items()}
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_supervised_classification_step():
     bins = DepthBins(num_bins=16)
     model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
