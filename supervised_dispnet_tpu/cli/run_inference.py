@@ -48,12 +48,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
-    if args.int8 and args.network == "fcrn":
-        raise SystemExit(
-            "--int8 is not supported for --network fcrn: its metric-depth "
-            "head amplifies per-tensor quantization error (see ops/quant.py "
-            "docstring / BASELINE.md); serve FCRN in fp/bf16")
-
     # persistent XLA compile cache: first compiles through the remote
     # tunnel take minutes; cached re-invocations are instant
     from supervised_dispnet_tpu.utils.profiling import enable_compile_cache

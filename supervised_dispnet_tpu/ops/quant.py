@@ -36,10 +36,13 @@ bandwidth win (measured 23.3 GB/step accessed vs bf16's 24.5; see
 BASELINE.md round-3 int8 section).
 
 Model scope: validated on the sigmoid-bounded disparity nets (DispNetS,
-DispResNet-18/50, VGG-BN — median disparity rel err <2% on fixtures).
-FCRN predicts metric depth directly; per-tensor activation scales
-amplify through its up-projection stack (measured median rel err ~0.9 on
-random-init fixtures) — serve FCRN in fp/bf16.
+DispResNet-18/50, VGG-BN — median disparity rel err <2% on fixtures) AND
+on FCRN with trained weights (abs_rel delta +0.0003 at absmax x1; its
+input-dilated unpool convs quantize with exact geometry since lhs/rhs
+dilation is forwarded). Random-init fixtures mispredict FCRN badly in
+the pessimistic direction (~0.9 median rel err vs 0.003 trained — no BN
+means no outlier channels once weights are trained); measure quant
+quality on trained checkpoints, per BASELINE.md.
 """
 
 from __future__ import annotations

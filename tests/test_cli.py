@@ -278,6 +278,39 @@ def test_run_inference_empty_folder_int8_exits_cleanly(torch_ckpt, tmp_path):
     assert not list(out.glob("*.png")) if out.exists() else True
 
 
+def test_run_inference_fcrn_int8(tmp_path):
+    """FCRN serves through --int8 (rejection lifted late round 3: dilated
+    unpool convs quantize with exact geometry and trained-weights quality
+    measured +0.0003 abs_rel — BASELINE.md FCRN int8 section)."""
+    import cv2
+
+    from tests.torch_ref import TorchFCRN
+    from supervised_dispnet_tpu.cli.run_inference import main
+
+    torch.manual_seed(0)
+    ck = tmp_path / "fcrn_model_best.pth.tar"
+    # the fork's FCRN keeps the ResNet stem at the state_dict root
+    # (FCRNNameMap default); the fixture nests it under `encoder.`
+    sd = {k.removeprefix("encoder."): v
+          for k, v in TorchFCRN().state_dict().items()}
+    torch.save({"epoch": 1, "state_dict": sd}, ck)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(src / f"img{i}.png"),
+                    rng.uniform(0, 255, (64, 96, 3)).astype(np.uint8))
+    out = tmp_path / "out"
+    main([
+        "--pretrained", str(ck), "--network", "fcrn",
+        "--dataset-dir", str(src), "--output-dir", str(out),
+        "--img-height", "64", "--img-width", "96", "--int8", "--save-npy",
+    ])
+    depth = np.load(out / "img0_depth.npy")
+    assert depth.shape == (64, 96)
+    assert np.isfinite(depth).all() and (depth > 0).all()
+
+
 def test_profiler_clamps_to_short_epochs(tmp_path):
     """ADVICE r2: profile_steps > len(epoch) must not leave a trace open
     (the next epoch's start_trace would raise mid-training)."""
