@@ -572,8 +572,8 @@ def _fake_quant_conv(module: nn.Conv, x: jax.Array) -> jax.Array:
 def fake_quant_methods(exempt: Callable[[nn.Module], bool] | None = None):
     """Context manager for QAT forwards: inside it, every quantizable
     ``nn.Conv`` (same predicate the serving path uses — disparity heads
-    and dilated convs stay fp) runs fake-quantized. Wrap the model apply
-    of a train step::
+    and grouped convs stay fp; dilated convs ARE in scope) runs
+    fake-quantized. Wrap the model apply of a train step::
 
         with fake_quant_methods():
             out, new_bs = model.apply(...)
