@@ -70,6 +70,28 @@ def test_supervised_step_fcrn_direct_depth():
     assert losses[-1] < losses[0]
 
 
+def test_supervised_step_fcrn_fake_quant():
+    """QAT on FCRN (the int8 fine-tune recipe now that fcrn --int8 is a
+    supported serving path): fake-quant QDQ runs through the dilated
+    unpool convs and the direct-depth loss branch; loss stays finite and
+    decreases."""
+    from supervised_dispnet_tpu.models import FCRN
+
+    model = FCRN(encoder_depth=18)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step = make_supervised_train_step(model, "berhu", aug=NO_AUG,
+                                      donate=False, fake_quant=True)
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(B=4).items()}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_supervised_classification_step():
     bins = DepthBins(num_bins=16)
     model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
