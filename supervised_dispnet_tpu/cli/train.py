@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bf16 trunk compute (params/heads fp32); the "
                         "configuration the headline TPU numbers use")
+    p.add_argument("--remat", action="store_true",
+                   help="activation checkpointing (jax.checkpoint) on the "
+                        "disp net's conv stages: recompute intra-stage "
+                        "activations in the backward pass instead of "
+                        "holding them in HBM — raises the batch size the "
+                        "working set allows (the self-sup B=64 cliff is "
+                        "activation-bound); dispnet / disp_res* only")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware training: fake-quantize every "
                         "quantizable conv of the disp net so the "
@@ -201,7 +208,8 @@ def main(argv: list[str] | None = None) -> None:
     head = "classification" if args.loss == "classification" else "disp"
     disp_model = get_disp_net(
         args.network, head=head, num_bins=args.num_bins,
-        multiscale_classification=args.multiscale_classification)
+        multiscale_classification=args.multiscale_classification,
+        remat=args.remat)
     pose_model = None
     if args.loss == "selfsup":
         pose_model = PoseExpNet(nb_ref_imgs=args.sequence_length - 1,

@@ -16,7 +16,7 @@ from supervised_dispnet_tpu.models.resnet import ResNetEncoder
 
 # --network flag values mirroring the reference CLI
 _REGISTRY = {
-    "dispnet": lambda **kw: DispNetS(),
+    "dispnet": lambda **kw: DispNetS(**kw),
     "disp_res": lambda **kw: DispResNet(encoder_depth=18, **kw),
     "disp_res_18": lambda **kw: DispResNet(encoder_depth=18, **kw),
     "disp_res_50": lambda **kw: DispResNet(encoder_depth=50, **kw),
@@ -26,7 +26,8 @@ _REGISTRY = {
 
 
 def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
-                 multiscale_classification: bool = False) -> nn.Module:
+                 multiscale_classification: bool = False,
+                 remat: bool = False) -> nn.Module:
     """Build a disparity/depth network by its ``--network`` name."""
     key = name.lower()
     if key not in _REGISTRY:
@@ -37,6 +38,11 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
               "multiscale_classification": multiscale_classification}
     elif head != "disp":
         raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
+    if remat:
+        if key not in ("dispnet",) and not key.startswith("disp_res"):
+            raise ValueError(
+                f"--remat is only supported on dispnet / disp_res*, got {name!r}")
+        kw["remat"] = True
     return _REGISTRY[key](**kw)
 
 

@@ -143,3 +143,26 @@ def test_dispresnet_remat_grads_equal():
     g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dispnet_remat_grads_equal():
+    """DispNetS remat (late round 3, the --remat flag for the self-sup
+    working-set cliff): same param tree, identical gradients."""
+    from supervised_dispnet_tpu.models import DispNetS
+
+    x = _img(seed=12)
+    m0 = DispNetS()
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = DispNetS(remat=True)
+    # the flag must not change the param tree (checkpoints toggle freely)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v1["params"])
+            == jax.tree_util.tree_structure(v["params"]))
+
+    def loss(m, p):
+        return sum(jnp.mean(d) for d in m.apply({"params": p}, x))
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
