@@ -92,6 +92,26 @@ def test_supervised_step_fcrn_fake_quant():
     assert losses[-1] < losses[0]
 
 
+def test_supervised_step_remat_qat_bf16_compose():
+    """The three orthogonal train-step dials (--remat activation
+    checkpointing, --qat fake-quant interception, --bf16 trunk) must
+    compose in one step: nn.remat re-traces the stage modules, and the
+    fake-quant interceptor must still see their convs."""
+    model = DispNetS(remat=True, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step = make_supervised_train_step(model, "berhu", aug=NO_AUG,
+                                      donate=False, fake_quant=True)
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch().items()}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_supervised_classification_step():
     bins = DepthBins(num_bins=16)
     model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
