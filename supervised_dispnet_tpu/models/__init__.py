@@ -21,7 +21,7 @@ _REGISTRY = {
     "disp_res_18": lambda **kw: DispResNet(encoder_depth=18, **kw),
     "disp_res_50": lambda **kw: DispResNet(encoder_depth=50, **kw),
     "disp_vgg_bn": lambda **kw: DispVggBN(),
-    "fcrn": lambda **kw: FCRN(),
+    "fcrn": lambda **kw: FCRN(**kw),
 }
 
 
@@ -39,9 +39,10 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
     elif head != "disp":
         raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
     if remat:
-        if key not in ("dispnet",) and not key.startswith("disp_res"):
+        if key == "disp_vgg_bn":
             raise ValueError(
-                f"--remat is only supported on dispnet / disp_res*, got {name!r}")
+                "--remat is not supported on disp_vgg_bn; use dispnet, "
+                "disp_res*, or fcrn")
         kw["remat"] = True
     return _REGISTRY[key](**kw)
 

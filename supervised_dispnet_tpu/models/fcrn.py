@@ -58,10 +58,14 @@ class FCRN(nn.Module):
     """__call__(x, train) -> (B, H, W, 1) metric depth (single scale)."""
 
     encoder_depth: int = 50
+    remat: bool = False  # jax.checkpoint encoder blocks + UpProjections
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        enc = ResNetEncoder(self.encoder_depth, name="encoder")(x, train=train)
+        up_cls = (nn.remat(UpProjection, static_argnums=(2,))
+                  if self.remat else UpProjection)
+        enc = ResNetEncoder(self.encoder_depth, remat=self.remat,
+                            name="encoder")(x, train=train)
         h = enc[-1]  # stride 32
         ch = h.shape[-1] // 2
         h = nn.Conv(ch, (1, 1), kernel_init=xavier_uniform, name="conv2")(h)
@@ -69,7 +73,7 @@ class FCRN(nn.Module):
                          epsilon=1e-5, name="bn2")(h)
         for i in range(4):
             ch //= 2
-            h = UpProjection(ch, name=f"up{i}")(h, train=train)  # stride 32 -> 2
+            h = up_cls(ch, name=f"up{i}")(h, train)  # stride 32 -> 2
         h = nn.Conv(1, (3, 3), padding=1, kernel_init=xavier_uniform, name="conv3")(h)
         h = nn.relu(h)
         return resize_bilinear(h, x.shape[1], x.shape[2])

@@ -145,6 +145,28 @@ def test_dispresnet_remat_grads_equal():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_fcrn_remat_grads_equal():
+    """FCRN remat (encoder blocks + UpProjections): same param tree,
+    identical gradients through the BN-bearing up-projection stack."""
+    from supervised_dispnet_tpu.models import FCRN
+
+    x = _img(seed=13)
+    m0 = FCRN(encoder_depth=18)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = FCRN(encoder_depth=18, remat=True)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v1["params"])
+            == jax.tree_util.tree_structure(v["params"]))
+
+    def loss(m, p):
+        return jnp.mean(m.apply({**v, "params": p}, x, train=False))
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_dispnet_remat_grads_equal():
     """DispNetS remat (late round 3, the --remat flag for the self-sup
     working-set cliff): same param tree, identical gradients."""
