@@ -96,7 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "activations in the backward pass instead of "
                         "holding them in HBM — raises the batch size the "
                         "working set allows (the self-sup B=64 cliff is "
-                        "activation-bound); dispnet / disp_res* / fcrn")
+                        "activation-bound); all --network choices")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware training: fake-quantize every "
                         "quantizable conv of the disp net so the "

@@ -20,7 +20,7 @@ _REGISTRY = {
     "disp_res": lambda **kw: DispResNet(encoder_depth=18, **kw),
     "disp_res_18": lambda **kw: DispResNet(encoder_depth=18, **kw),
     "disp_res_50": lambda **kw: DispResNet(encoder_depth=50, **kw),
-    "disp_vgg_bn": lambda **kw: DispVggBN(),
+    "disp_vgg_bn": lambda **kw: DispVggBN(**kw),
     "fcrn": lambda **kw: FCRN(**kw),
 }
 
@@ -39,10 +39,6 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
     elif head != "disp":
         raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
     if remat:
-        if key == "disp_vgg_bn":
-            raise ValueError(
-                "--remat is not supported on disp_vgg_bn; use dispnet, "
-                "disp_res*, or fcrn")
         kw["remat"] = True
     return _REGISTRY[key](**kw)
 

@@ -36,12 +36,17 @@ class _VGGStage(nn.Module):
 class DispVggBN(nn.Module):
     """__call__(x, train) -> [disp1..disp4] finest first."""
 
+    remat: bool = False  # jax.checkpoint each VGG stage (the full-res
+    #   64-ch conv+BN pre-activations dominate the working set)
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        stage_cls = (nn.remat(_VGGStage, static_argnums=(2,))
+                     if self.remat else _VGGStage)
         feats = []
         h = x
         for s, widths in enumerate(VGG16_STAGES):
-            h = _VGGStage(widths, name=f"stage{s}")(h, train=train)
+            h = stage_cls(widths, name=f"stage{s}")(h, train)
             feats.append(h)  # strides 1, 2, 4, 8, 16 (pre-pool)
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
         # bottleneck at stride 32

@@ -145,6 +145,29 @@ def test_dispresnet_remat_grads_equal():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_disp_vgg_bn_remat_grads_equal():
+    """DispVggBN remat (per-VGG-stage checkpointing): same param tree,
+    identical gradients — --remat now covers every --network choice."""
+    from supervised_dispnet_tpu.models import DispVggBN
+
+    x = _img(seed=14)
+    m0 = DispVggBN()
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = DispVggBN(remat=True)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v1["params"])
+            == jax.tree_util.tree_structure(v["params"]))
+
+    def loss(m, p):
+        return sum(jnp.mean(d) for d in
+                   m.apply({**v, "params": p}, x, train=False))
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_fcrn_remat_grads_equal():
     """FCRN remat (encoder blocks + UpProjections): same param tree,
     identical gradients through the BN-bearing up-projection stack."""
