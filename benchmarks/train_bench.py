@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--network", default="disp_res_50")
     ap.add_argument("--loss", default="berhu")
     ap.add_argument("--half-res-photo", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="activation checkpointing on the disp net (the "
+                         "B=64 self-sup HBM-cliff probe: sweep --batch "
+                         "with/without this flag)")
     ap.add_argument("--bf16-grads", action="store_true",
                     help="cast gradients to bf16 before Adam (precision "
                          "probe — VERDICT r2 item 6)")
@@ -70,7 +74,8 @@ def main() -> None:
     tgt0 = jnp.zeros((1, H, W, 3))
     if args.mode == "supervised":
         model = get_disp_net(args.network, head="classification"
-                             if args.loss == "classification" else "disp")
+                             if args.loss == "classification" else "disp",
+                             remat=args.remat)
         if hasattr(model, "dtype"):
             model = model.clone(dtype=jnp.bfloat16)
         state = create_train_state(model, (tgt0,), tx)
@@ -83,7 +88,7 @@ def main() -> None:
             "depth": jnp.asarray(depth),
         }
     else:
-        model = get_disp_net("dispnet")
+        model = get_disp_net("dispnet", remat=args.remat)
         if hasattr(model, "dtype"):
             model = model.clone(dtype=jnp.bfloat16)
         pose = PoseExpNet(nb_ref_imgs=2, output_exp=True, dtype=jnp.bfloat16)
