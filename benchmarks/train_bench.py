@@ -97,7 +97,8 @@ def main() -> None:
             extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
         )
         step = make_selfsup_train_step(model, pose, nb_ref_imgs=2, donate=False,
-                                       half_res_photo=args.half_res_photo)
+                                       half_res_photo=args.half_res_photo,
+                                       remat_photo=args.remat)
         batch = {
             "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
             "ref_imgs": jnp.asarray(

@@ -193,6 +193,7 @@ def main(argv: list[str] | None = None) -> None:
         img_width=args.img_width,
         use_pallas_warp=args.use_pallas_warp,
         half_res_photo=args.half_res_photo,
+        remat=args.remat,
         use_pallas_losses=args.use_pallas_losses,
         qat=args.qat,
         bf16=args.bf16,

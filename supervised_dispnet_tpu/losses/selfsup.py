@@ -38,6 +38,7 @@ def photometric_reconstruction_loss(
     padding_mode: str = "zeros",
     use_pallas_warp: bool = False,
     half_res: bool = False,
+    remat: bool = False,
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Multi-scale photometric L1 between target and inverse-warped refs.
 
@@ -53,6 +54,13 @@ def photometric_reconstruction_loss(
         (images, depths, and masks 2x-downsampled before the loop). TPU
         warp gathers are index-count-bound, so this cuts warp cost ~4x; it
         is a documented DEVIATION from the reference loss (off by default).
+      remat: jax.checkpoint each (scale, ref) photometric term — the warp
+        grids / gathered patches / warped images are recomputed in the
+        backward pass instead of held in HBM (the self-sup working set is
+        dominated by these at large batch). Gradients identical
+        (tests/test_losses.py); ``warped_results`` comes back empty (the
+        finest warps would otherwise have to be stored, defeating the
+        point; nothing in the train path consumes them).
 
     Returns:
       (loss, warped_results): scalar loss and the finest-scale warped images
@@ -82,20 +90,34 @@ def photometric_reconstruction_loss(
             refs_s = [downsample2x_avg(r) for r in refs_s]
         K_s = _scale_intrinsics(intrinsics, scale0 / (2**s))
         for r, ref in enumerate(refs_s):
-            warped, valid = inverse_warp(
-                ref, depth, pose[:, r], K_s,
-                rotation_mode=rotation_mode, padding_mode=padding_mode,
-                use_pallas=use_pallas_warp,
-                # the warped source is training DATA here — its gradient is
-                # dead; skipping it selects the cheaper coords-only VJP
-                diff_img=False,
-            )
-            diff = (tgt_s - warped) * valid[..., None].astype(tgt_s.dtype)
-            if explainability_masks is not None:
-                diff = diff * explainability_masks[s][..., r : r + 1]
-            total = total + jnp.abs(diff).mean()
-            if s == 0:
-                warped_log.append(warped)
+            mask_sr = (explainability_masks[s][..., r : r + 1]
+                       if explainability_masks is not None else None)
+
+            def _term(ref, depth, pose_r, K_s, tgt_s, mask_sr):
+                warped, valid = inverse_warp(
+                    ref, depth, pose_r, K_s,
+                    rotation_mode=rotation_mode, padding_mode=padding_mode,
+                    use_pallas=use_pallas_warp,
+                    # the warped source is training DATA here — its
+                    # gradient is dead; skipping it selects the cheaper
+                    # coords-only VJP
+                    diff_img=False,
+                )
+                diff = (tgt_s - warped) * valid[..., None].astype(tgt_s.dtype)
+                if mask_sr is not None:
+                    diff = diff * mask_sr
+                return jnp.abs(diff).mean(), warped
+
+            if remat:
+                total = total + jax.checkpoint(
+                    lambda *a: _term(*a)[0]
+                )(ref, depth, pose[:, r], K_s, tgt_s, mask_sr)
+            else:
+                term, warped = _term(ref, depth, pose[:, r], K_s, tgt_s,
+                                     mask_sr)
+                total = total + term
+                if s == 0:
+                    warped_log.append(warped)
     return total, warped_log
 
 

@@ -313,12 +313,15 @@ def make_selfsup_train_step(
     ema_decay: float = 0.0,
     accum_steps: int = 1,
     fake_quant: bool = False,
+    remat_photo: bool = False,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights). ``half_res_photo`` computes
     the photometric pyramid one octave down (~4x cheaper warp gathers,
     documented deviation). ``fake_quant`` QAT-trains the DISP net (the
     net the --int8 serving path quantizes; the pose net serves fp).
+    ``remat_photo`` checkpoints each (scale, ref) photometric term so the
+    warp intermediates are recomputed in the backward pass (--remat).
 
     batch: {'tgt': (B, H, W, 3), 'ref_imgs': (B, R, H, W, 3),
             'intrinsics': (B, 3, 3)}.
@@ -362,6 +365,7 @@ def make_selfsup_train_step(
                 tgt, refs, K, depths, exp_masks, pose,
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
                 use_pallas_warp=use_pallas_warp, half_res=half_res_photo,
+                remat=remat_photo,
             )
             exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
             smooth = smooth_loss(disps)

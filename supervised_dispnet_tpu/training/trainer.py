@@ -70,6 +70,9 @@ class TrainerConfig:
     use_pallas_warp: bool = False  # MXU-gather Pallas sampler in photometric
     half_res_photo: bool = False  # photometric loss one octave down (~4x
     #   cheaper warp gathers; deviation from the reference loss)
+    remat: bool = False  # --remat: the model is built with activation
+    #   checkpointing by the CLI; this mirrors the flag so the self-sup
+    #   step also checkpoints each (scale, ref) photometric term
     use_pallas_losses: bool = False  # fused Pallas loss reduction kernels
     qat: bool = False  # quantization-aware training: fake-quant every
     #   quantizable conv of the disp net (ops/quant.py::fake_quant_methods)
@@ -265,6 +268,7 @@ class Trainer:
                 ema_decay=cfg.ema_decay,
                 accum_steps=cfg.accum_steps,
                 fake_quant=cfg.qat,
+                remat_photo=cfg.remat,
                 donate=donate,
             )
         return make_supervised_train_step(

@@ -1,6 +1,7 @@
 """Golden-value tests for losses vs torch/numpy implementations."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -164,6 +165,40 @@ def test_photometric_nonzero_for_shifted():
         jnp.asarray(img), [jnp.asarray(img)], jnp.asarray(K),
         depths, None, jnp.asarray(pose))
     assert float(loss) > 1e-2
+
+
+def test_photometric_remat_loss_and_grads_equal():
+    """remat=True (checkpoint each (scale, ref) photometric term) must
+    change neither the loss value nor the gradients wrt depth, pose, and
+    explainability masks (the --remat self-sup path)."""
+    B, H, W = 2, 16, 32
+    rng = np.random.default_rng(9)
+    tgt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    refs = [jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+            for _ in range(2)]
+    K = jnp.asarray(np.broadcast_to(
+        np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                 np.float32), (B, 3, 3)).copy())
+    depths0 = [jnp.asarray(rng.uniform(3, 8, (B, H // 2**s, W // 2**s))
+                           .astype(np.float32)) for s in range(3)]
+    masks0 = [jnp.asarray(rng.uniform(0.2, 1, (B, H // 2**s, W // 2**s, 2))
+                          .astype(np.float32)) for s in range(3)]
+    pose0 = jnp.asarray(rng.uniform(-0.05, 0.05, (B, 2, 6))
+                        .astype(np.float32))
+
+    def loss_fn(depths, masks, pose, remat):
+        l, _ = photometric_reconstruction_loss(
+            tgt, refs, K, depths, masks, pose, remat=remat)
+        return l
+
+    v0, g0 = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+        depths0, masks0, pose0, False)
+    v1, g1 = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+        depths0, masks0, pose0, True)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_multiscale_supervised_loss_runs():
