@@ -28,12 +28,18 @@ ConvTranspose upsamples are left unquantized in v1 (they are <8% of
 DispResNet-50 inference FLOPs; XLA lowers them as grad-convs where int8
 support is less settled).
 
-Round 3 adds the **int8-through encoder chain**: when the calibration
+Round 3 adds the **int8-through encoder chains**: when the calibration
 carries per-block output ranges, ResNet encoders run int8-in/int8-out end
 to end (``_int8_chain_encoder``) — activations exist in HBM only as int8
 between blocks, which is where the per-conv scheme was losing its
 bandwidth win (measured 23.3 GB/step accessed vs bf16's 24.5; see
-BASELINE.md round-3 int8 section).
+BASELINE.md round-3 int8 section). The VGG-BN stages
+(``_int8_chain_vgg_stage``) and DispNetS's DownsampleConv blocks
+(``_int8_chain_downsample``) chain the same way — intra-block
+intermediates stay int8; block outputs materialize fp because they are
+decoder skip inputs in any precision. Those two need no extra
+calibration keys (each intermediate requantizes with the next conv's
+calibrated input range), so existing calibrations activate them.
 
 Model scope: validated on the sigmoid-bounded disparity nets (DispNetS,
 DispResNet-18/50, VGG-BN — median disparity rel err <2% on fixtures) AND
@@ -251,12 +257,16 @@ def _quantize_fp(x, rng_abs):
     return xq.astype(jnp.int8), s
 
 
-def _requant(acc_i32, mult, bias, out_range, relu=True):
+def _requant(acc_i32, mult, bias, out_range, act="relu"):
     """int32 conv accumulator -> int8 with the fused fp epilogue
-    (dequant * per-channel mult + bias [+ relu]) -> symmetric requant."""
+    (dequant * per-channel mult + bias [+ activation]) -> symmetric
+    requant. ``act``: "relu" (BN encoders), "elu" (DispNetS's conv+ELU
+    vocabulary), or None."""
     y = acc_i32.astype(jnp.float32) * mult + bias
-    if relu:
+    if act == "relu":
         y = jnp.maximum(y, 0.0)
+    elif act == "elu":
+        y = jax.nn.elu(y)
     s = jnp.float32(out_range / 127.0)
     yq = jnp.clip(jnp.round(y / s), -127.0, 127.0).astype(jnp.int8)
     return yq, s
@@ -393,6 +403,94 @@ def _int8_chain_encoder(enc, x, ranges, baked=None):
     return feats
 
 
+# ---------------------------------------------------------------------------
+# int8-through chains for the non-ResNet encoders (round 3)
+#
+# The ResNet chain above is interceptable at one module (ResNetEncoder);
+# the VGG and DispNetS encoders are built inline from stage/block modules,
+# so their chains hang off those blocks instead. The structural boundary
+# is the same in both: each block's OUTPUT is a decoder skip connection,
+# so it must materialize fp regardless of precision — the win is the
+# intra-block intermediates (e.g. _VGGStage's full-res 64-ch conv0 output,
+# DownsampleConv's post-stride conv_a output), which stay int8 in HBM.
+# Both chains requantize each intermediate with the NEXT conv's already-
+# calibrated input range, so they need no new calibration keys: any
+# existing per-conv calibration activates them.
+# ---------------------------------------------------------------------------
+
+
+def _module_key(module):
+    base = "/".join(module.path)
+    return lambda *n: "/".join(((base,) if base else ()) + n)
+
+
+def _vgg_stage_chain_keys(stage) -> list[str]:
+    key = _module_key(stage)
+    return [key(f"conv{i}") for i in range(len(stage.widths))]
+
+
+def _int8_chain_vgg_stage(stage, x, ranges, baked=None):
+    """_VGGStage (N x [conv3x3 + BN + relu]) int8-in/int8-out: each conv's
+    epilogue fuses dequant + BN affine + bias + relu + requant (BN folded
+    into the per-channel multiplier pre-quantization, like the ResNet
+    chain); only the last conv dequantizes, because its post-relu output
+    is a decoder skip input the fp path materializes too."""
+    p = stage.variables["params"]
+    s = stage.variables.get("batch_stats", {})
+    key = _module_key(stage)
+    out_dtype = x.dtype
+    n = len(stage.widths)
+
+    def eff(conv_name, bn_name, full_key):
+        if baked is not None and full_key + "::eff" in baked:
+            wq, ws_, be = baked[full_key + "::eff"]
+            return jnp.asarray(wq), jnp.asarray(ws_), jnp.asarray(be)
+        return _conv_eff(p, s, conv_name, bn_name, fold_bn=False)
+
+    xq, s_in = _quantize_fp(x, ranges[key("conv0")])
+    for i in range(n):
+        wq, ws, b = eff(f"conv{i}", f"bn{i}", key(f"conv{i}"))
+        acc = _conv_q(xq, wq, 1, 1)
+        if i < n - 1:
+            xq, s_in = _requant(acc, s_in * ws, b, ranges[key(f"conv{i + 1}")])
+        else:
+            y = jnp.maximum(acc.astype(jnp.float32) * (s_in * ws) + b, 0.0)
+            return y.astype(out_dtype)
+
+
+def _downsample_chain_keys(block) -> list[str]:
+    key = _module_key(block)
+    return [key("conv_a", "Conv_0"), key("conv_b", "Conv_0")]
+
+
+def _int8_chain_downsample(block, x, ranges, baked=None):
+    """DownsampleConv (conv/2 + ELU -> conv + ELU, DispNetS's encoder
+    vocabulary — no BN) int8-in/int8-out: conv_a's epilogue fuses dequant
+    + bias + ELU + requant so its post-stride activation stays int8 in
+    HBM; conv_b dequantizes (its output is the encoder skip feature)."""
+    p = block.variables["params"]
+    key = _module_key(block)
+    out_dtype = block.dtype or x.dtype
+    pad = (block.kernel - 1) // 2
+
+    def eff(sub, full_key):
+        if baked is not None and full_key + "::eff" in baked:
+            wq, ws_, be = baked[full_key + "::eff"]
+            return jnp.asarray(wq), jnp.asarray(ws_), jnp.asarray(be)
+        # no BN: _conv_eff's fold_bn branch reads exactly (kernel, bias)
+        return _conv_eff(p[sub], {}, "Conv_0", None, fold_bn=True)
+
+    key_a, key_b = _downsample_chain_keys(block)
+    xq, s_in = _quantize_fp(x, ranges[key_a])
+    wq, ws, b = eff("conv_a", key_a)
+    xq, s_in = _requant(_conv_q(xq, wq, 2, pad), s_in * ws, b,
+                        ranges[key_b], act="elu")
+    wq, ws, b = eff("conv_b", key_b)
+    y = jax.nn.elu(
+        _conv_q(xq, wq, 1, pad).astype(jnp.float32) * (s_in * ws) + b)
+    return y.astype(out_dtype)
+
+
 def _bf16_disp_head(module, x):
     """DispHead serving epilogue for the quantized path: the training-time
     head casts its INPUT to fp32 (models/common.py::DispHead), which at
@@ -470,13 +568,31 @@ def bake_int8_weights(
     (zero device compute — safe on a disconnected backend)."""
     import numpy as np
 
-    from supervised_dispnet_tpu.models.common import apply_model
+    from supervised_dispnet_tpu.models.common import apply_model, DownsampleConv
+    from supervised_dispnet_tpu.models.disp_vgg_bn import _VGGStage
     from supervised_dispnet_tpu.models.resnet import ResNetEncoder
 
     baked: dict = {}
 
     def rec(next_fun, fargs, fkwargs, context):
         m = context.module
+        if (type(m) is _VGGStage and context.method_name == "__call__"
+                and exempt is None
+                and all(k in ranges for k in _vgg_stage_chain_keys(m))):
+            key = _module_key(m)
+            p = m.variables["params"]
+            s = m.variables.get("batch_stats", {})
+            for i in range(len(m.widths)):
+                baked[key(f"conv{i}") + "::eff"] = _np_conv_eff(
+                    p, s, f"conv{i}", f"bn{i}", False)
+        if (type(m) is DownsampleConv and context.method_name == "__call__"
+                and exempt is None
+                and all(k in ranges for k in _downsample_chain_keys(m))):
+            key = _module_key(m)
+            p = m.variables["params"]
+            for sub in ("conv_a", "conv_b"):
+                baked[key(sub, "Conv_0") + "::eff"] = _np_conv_eff(
+                    p[sub], {}, "Conv_0", None, True)
         if (type(m) is ResNetEncoder and context.method_name == "__call__"
                 and exempt is None
                 and all(k in ranges for k in _encoder_chain_keys(m))):
@@ -599,14 +715,17 @@ def quantized_apply(
 
     Jittable: wrap in ``jax.jit(lambda v, x: quantized_apply(model, v, x,
     ranges=ranges))``. Convs without a calibration entry (or exempt) run
-    in the original precision. When ``ranges`` carries the block-output
-    keys (round-3 calibrations) and no ``exempt`` predicate is given,
-    ResNet encoders run as a fused int8-in/int8-out chain
-    (``_int8_chain_encoder``) instead of per-conv interception.
+    in the original precision. When no ``exempt`` predicate is given,
+    the encoder blocks run as fused int8-in/int8-out chains instead of
+    per-conv interception: ResNet encoders need the round-3 block-output
+    calibration keys (``::out``); VGG stages and DispNetS DownsampleConv
+    blocks chain off per-conv keys alone. Passing any ``exempt``
+    predicate (even ``lambda m: False``) forces the per-conv path.
     ``baked`` (from :func:`bake_int8_weights`) supplies pre-quantized
     weights so a traced export never reads the fp32 kernels.
     """
-    from supervised_dispnet_tpu.models.common import DispHead
+    from supervised_dispnet_tpu.models.common import DispHead, DownsampleConv
+    from supervised_dispnet_tpu.models.disp_vgg_bn import _VGGStage
     from supervised_dispnet_tpu.models.resnet import ResNetEncoder
 
     def q_interceptor(next_fun, fargs, fkwargs, context):
@@ -619,6 +738,21 @@ def quantized_apply(
                         for k in _encoder_chain_keys(context.module))):
             return _int8_chain_encoder(context.module, fargs[0], ranges,
                                        baked=baked)
+        if (type(context.module) is _VGGStage
+                and context.method_name == "__call__"
+                and exempt is None
+                and not train
+                and all(k in ranges
+                        for k in _vgg_stage_chain_keys(context.module))):
+            return _int8_chain_vgg_stage(context.module, fargs[0], ranges,
+                                         baked=baked)
+        if (type(context.module) is DownsampleConv
+                and context.method_name == "__call__"
+                and exempt is None
+                and all(k in ranges
+                        for k in _downsample_chain_keys(context.module))):
+            return _int8_chain_downsample(context.module, fargs[0], ranges,
+                                          baked=baked)
         if (type(context.module) is DispHead
                 and context.method_name == "__call__" and exempt is None
                 and ranges):  # empty ranges = identity contract

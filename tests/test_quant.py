@@ -95,9 +95,8 @@ def test_degenerate_calibration_raises(dispnet_setup):
 @pytest.mark.parametrize("name", ["disp_vgg_bn"])
 def test_other_variants_quantize(name):
     """VGG-BN variant runs through the int8 path (ConvTranspose stages
-    stay fp by design). FCRN is excluded: its direct metric-depth head
-    amplifies per-tensor activation quant error (median rel err ~0.9 on
-    random-init fixtures) — use fp serving for FCRN (ops/quant.py docs)."""
+    stay fp by design). FCRN is covered by its own trained-weights tests
+    below (random-init fixtures mispredict its quant quality ~300x)."""
     from supervised_dispnet_tpu.models import get_disp_net
     from supervised_dispnet_tpu.models.common import apply_model
 
@@ -223,6 +222,78 @@ def test_encoder_chain_parity_resnet18():
     q = np.asarray(quantized_apply(model, variables, x, ranges=ranges)[0])
     rel = np.abs(q - fp) / np.abs(fp)
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_vgg_stage_chain_parity():
+    """int8-through VGG stage chain (intra-stage activations stay int8;
+    BN folded into the quantized weights): close to fp32, and close to
+    the forced per-conv path it fuses."""
+    from supervised_dispnet_tpu.models import get_disp_net
+
+    model = get_disp_net("disp_vgg_bn")
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+    variables = model.init(rng, x)
+    ranges = calibrate_conv_ranges(model, variables, [x])
+    # VGG chains need no extra keys — no ::out entries exist
+    assert not any(k.endswith("::out") for k in ranges)
+
+    fp = np.asarray(model.apply(variables, x, train=False)[0])
+    q_chain = np.asarray(quantized_apply(
+        model, variables, x, ranges=ranges)[0])
+    rel = np.abs(q_chain - fp) / np.abs(fp)
+    assert np.median(rel) < 0.05, np.median(rel)
+
+    # forced per-conv path (exempt predicate disables chains without
+    # exempting anything) agrees at quality level
+    q_pc = np.asarray(quantized_apply(
+        model, variables, x, ranges=ranges, exempt=lambda m: False)[0])
+    rel_pc = np.abs(q_pc - q_chain) / np.maximum(np.abs(q_chain), 1e-6)
+    assert np.median(rel_pc) < 0.05, np.median(rel_pc)
+
+
+def test_downsample_chain_parity_dispnet(dispnet_setup):
+    """int8-through DownsampleConv chain (DispNetS encoder, conv+ELU, no
+    BN): the chain computes the SAME quantization grids as the per-conv
+    path (input ranges + per-channel weight scales are identical; only
+    the epilogue dtype bookkeeping differs), so the two paths must agree
+    tightly — and both must stay close to fp32."""
+    model, variables, x = dispnet_setup
+    ranges = calibrate_conv_ranges(model, variables, [x])
+
+    fp = np.asarray(model.apply(variables, x)[0])
+    q_chain = np.asarray(quantized_apply(
+        model, variables, x, ranges=ranges)[0])
+    rel = np.abs(q_chain - fp) / np.abs(fp)
+    assert np.median(rel) < 0.02, np.median(rel)
+
+    q_pc = np.asarray(quantized_apply(
+        model, variables, x, ranges=ranges, exempt=lambda m: False)[0])
+    rel_pc = np.abs(q_pc - q_chain) / np.maximum(np.abs(q_chain), 1e-6)
+    assert np.median(rel_pc) < 5e-3, np.median(rel_pc)
+
+
+def test_chain_baked_weights_match_live_quantization():
+    """bake_int8_weights must cover the VGG/DownsampleConv chains: the
+    baked forward (fp32 kernels never read) matches the live-quantized
+    forward at the int8 noise floor for both model families."""
+    from supervised_dispnet_tpu.models import get_disp_net
+    from supervised_dispnet_tpu.ops.quant import bake_int8_weights
+
+    for name, seed in (("disp_vgg_bn", 5), ("dispnet", 6)):
+        model = get_disp_net(name)
+        rng = jax.random.PRNGKey(seed)
+        x = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+        variables = model.init(rng, x)
+        ranges = calibrate_conv_ranges(model, variables, [x])
+        baked = bake_int8_weights(model, variables, ranges)
+        assert any(k.endswith("::eff") for k in baked), name
+        q_live = np.asarray(quantized_apply(
+            model, variables, x, ranges=ranges)[0])
+        q_baked = np.asarray(quantized_apply(
+            model, variables, x, ranges=ranges, baked=baked)[0])
+        np.testing.assert_allclose(q_baked, q_live, rtol=0, atol=1e-5,
+                                   err_msg=name)
 
 
 # --- QAT (fake-quant training, round 3) ------------------------------------
