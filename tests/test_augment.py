@@ -1,5 +1,7 @@
 """On-device augmentation: geometric/intrinsics consistency."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -54,6 +56,7 @@ def test_depth_rides_same_transform():
         assert dist.max() < 1e-6, dist.max()
 
 
+@pytest.mark.quick
 def test_flip_only_mirrors_and_updates_cx():
     B, S, H, W = 8, 1, 16, 32
     imgs, K = _batch(B=B, S=S, H=H, W=W, seed=5)

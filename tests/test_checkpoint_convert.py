@@ -22,6 +22,7 @@ from tests.torch_ref import TorchDispNetS, TorchPoseExpNet, TorchResNet18Encoder
 H, W = 32, 64
 
 
+@pytest.mark.quick
 def test_dispnet_forward_parity():
     torch.manual_seed(0)
     tmodel = TorchDispNetS().eval()

@@ -191,6 +191,7 @@ def test_min_speed_fallback_filters_static(kitti_raw):
 
 # --- filelist validators (VERDICT r1 item 8) ------------------------------
 
+@pytest.mark.quick
 def test_filelist_validators_accept_canonical_formats(tmp_path):
     from supervised_dispnet_tpu.data.filelist_validation import (
         validate_eigen_list, validate_static_frames, validate_test_scenes,

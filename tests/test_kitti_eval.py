@@ -63,6 +63,7 @@ def test_generate_depth_map_zbuffer(calib_dir, tmp_path):
     assert depth[15, 70] == pytest.approx(10.0, rel=1e-5)
 
 
+@pytest.mark.quick
 def test_garg_crop():
     m = garg_crop_mask(100, 300)
     assert m[50, 150]
@@ -71,6 +72,7 @@ def test_garg_crop():
     assert abs(m.mean() - (0.9919 - 0.4081) * (0.9641 - 0.0359)) < 0.02
 
 
+@pytest.mark.quick
 def test_evaluate_depth_perfect_prediction():
     rng = np.random.default_rng(0)
     gts = [rng.uniform(2, 70, (50, 150)).astype(np.float32) for _ in range(3)]
@@ -114,6 +116,7 @@ def _traj(n=5, seed=0):
     return np.stack(poses)
 
 
+@pytest.mark.quick
 def test_ate_zero_for_identical():
     tr = _traj()
     assert compute_ate(tr, tr.copy()) == pytest.approx(0.0, abs=1e-9)

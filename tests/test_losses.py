@@ -1,5 +1,7 @@
 """Golden-value tests for losses vs torch/numpy implementations."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,7 @@ def test_l1_masked():
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
+@pytest.mark.quick
 def test_berhu_matches_manual():
     gt, pred, mask = _depth_pair(seed=1)
     ours = float(berhu_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
@@ -40,6 +43,7 @@ def test_berhu_matches_manual():
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
+@pytest.mark.quick
 def test_scale_invariant_matches_manual():
     gt, pred, mask = _depth_pair(seed=2)
     ours = float(scale_invariant_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
@@ -74,6 +78,7 @@ def test_classification_ce_matches_torch():
     np.testing.assert_allclose(ours, float(ce), rtol=1e-5)
 
 
+@pytest.mark.quick
 def test_soft_decode_recovers_bin_center():
     bins = DepthBins(num_bins=16, min_depth=1.0, max_depth=80.0, spacing="log")
     centers = np.asarray(bins.centers())
@@ -95,6 +100,7 @@ def test_depth_to_index_roundtrip_monotone():
     np.testing.assert_array_equal(ci, np.arange(64))
 
 
+@pytest.mark.quick
 def test_compute_errors_matches_numpy_reference():
     gt, pred, mask = _depth_pair(seed=5)
     out = {k: float(v) for k, v in compute_errors(
@@ -138,6 +144,7 @@ def test_explainability_loss_golden():
     np.testing.assert_allclose(ours, np.log(2.0), rtol=1e-5)
 
 
+@pytest.mark.quick
 def test_photometric_zero_for_identity():
     """Same image, zero pose, correct depth -> near-zero photometric loss."""
     B, H, W = 1, 16, 32

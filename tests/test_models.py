@@ -19,6 +19,7 @@ def _img(B=1, h=H, w=W, c=3, seed=0):
     return jnp.asarray(rng.standard_normal((B, h, w, c)).astype(np.float32))
 
 
+@pytest.mark.quick
 def test_dispnet_shapes():
     x = _img()
     model = DispNetS()
@@ -104,6 +105,7 @@ def test_pose_net_no_exp():
     assert pose.shape == (1, 2, 6)
 
 
+@pytest.mark.quick
 def test_registry():
     assert isinstance(get_disp_net("dispnet"), DispNetS)
     assert get_disp_net("disp_res_50").encoder_depth == 50

@@ -45,6 +45,7 @@ def _proj(H=64, W=208):
     return K @ R
 
 
+@pytest.mark.quick
 def test_native_matches_numpy():
     H, W = 64, 208
     velo = _rand_scan(seed=1)

@@ -44,6 +44,7 @@ def test_multi_batch_calibration_takes_max(dispnet_setup):
     assert all(r2[p] >= r1[p] for p in r1)
 
 
+@pytest.mark.quick
 def test_quantized_forward_close_to_fp32(dispnet_setup):
     model, variables, x = dispnet_setup
     ranges = calibrate_conv_ranges(model, variables, [x])

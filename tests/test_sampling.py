@@ -41,6 +41,7 @@ def test_grid_sample_matches_torch(padding_mode, align_corners):
     np.testing.assert_allclose(np.asarray(ours), t_out, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_grid_sample_identity():
     """An align_corners=True identity grid must reproduce the image."""
     img = _rand_img(B=1, H=8, W=8, C=2)
@@ -51,6 +52,7 @@ def test_grid_sample_identity():
     np.testing.assert_allclose(np.asarray(out), img, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_bilinear_sample_pixel_space():
     """Integer pixel coords return exact pixels; OOB returns 0 under zeros."""
     img = _rand_img(B=1, H=6, W=7, C=4)

@@ -34,6 +34,7 @@ def _sup_batch(B=8, seed=0):
     return {"tgt": tgt, "intrinsics": K, "depth": depth}
 
 
+@pytest.mark.quick
 def test_supervised_step_berhu_loss_decreases():
     model = DispNetS()
     state = create_train_state(

@@ -1,5 +1,7 @@
 """Geometry tests: rotation parameterizations vs scipy, warp invariants."""
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
@@ -9,6 +11,7 @@ from supervised_dispnet_tpu.ops.warp import (
 )
 
 
+@pytest.mark.quick
 def test_euler2mat_matches_scipy():
     rng = np.random.default_rng(0)
     ang = rng.uniform(-0.5, 0.5, (8, 3)).astype(np.float32)
@@ -67,6 +70,7 @@ def test_pixel2cam_roundtrip():
     np.testing.assert_allclose(ys, np.broadcast_to(gy, (B, H, W)), atol=1e-3)
 
 
+@pytest.mark.quick
 def test_inverse_warp_identity_pose():
     """Zero pose must reproduce the source image (valid everywhere)."""
     B, H, W = 1, 16, 24
