@@ -48,6 +48,33 @@ BATCH = 256  # batch sweep on v5e: 256 > 64 by ~26% images/sec
 H, W = 128, 416
 WARMUP = 3
 ITERS = 25
+# The chip is reached through a shared relay whose deliverable throughput
+# wanders +-5-8% (and occasionally -40%) over minutes — measured round 4:
+# byte-identical int8 HLO timed 8500 and 4215 img/s in ONE process. Timing
+# therefore takes the best of WINDOWS serial-chain windows (min-time
+# estimator: program speed is the least-contended window; contention is
+# additive noise). This is what reconciles BENCH_r03's int8 8086.9 vs
+# quant_bench's 8498 — different windows, same program.
+WINDOWS = 3
+
+
+def best_window(f, *args, iters=ITERS, windows=WINDOWS):
+    """Best throughput (img/s) over `windows` serial-chain timing windows;
+    returns (best_images_per_sec, best_dt, all_window_rates)."""
+    import jax.numpy as jnp
+
+    rates, best_dt = [], float("inf")
+    for _ in range(windows):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = f(*args, s)
+        float(s)  # host readback forces the whole chain
+        dt = time.perf_counter() - t0
+        assert jnp.isfinite(s), "non-finite output from the benchmark forward"
+        best_dt = min(best_dt, dt)
+        rates.append(round(BATCH * iters / dt, 1))
+    return BATCH * iters / best_dt, best_dt, rates
 
 
 def main() -> None:
@@ -83,16 +110,9 @@ def main() -> None:
         s = forward(variables, x, s)
     float(s)
 
-    s = jnp.float32(0.0)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        s = forward(variables, x, s)
-    float(s)  # host readback forces the whole chain
-    dt = time.perf_counter() - t0
-
-    assert jnp.isfinite(s), "non-finite output from the benchmark forward"
     n_chips = max(1, jax.device_count())
-    images_per_sec = BATCH * ITERS / dt / n_chips
+    images_per_sec, dt, bf16_windows = best_window(forward, variables, x)
+    images_per_sec /= n_chips
 
     # int8 PTQ serving path (ops/quant.py): same protocol; quality cost
     # quantified in BASELINE.md (median disparity rel err 0.4%)
@@ -114,14 +134,8 @@ def main() -> None:
         for _ in range(WARMUP):
             s = forward_q(variables, x, s)
         float(s)
-        s = jnp.float32(0.0)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            s = forward_q(variables, x, s)
-        float(s)
-        if jnp.isfinite(s):
-            int8_images_per_sec = BATCH * ITERS / (
-                time.perf_counter() - t0) / n_chips
+        rate, _, int8_windows = best_window(forward_q, variables, x)
+        int8_images_per_sec = rate / n_chips
     except Exception as e:  # int8 path is additive; never sink the
         # headline metric — but a silent regression would just drop the
         # field from BENCH with no trace, so say what broke on stderr
@@ -138,9 +152,11 @@ def main() -> None:
         "vs_baseline": round(images_per_sec / BASELINE_TORCH_CPU_IMAGES_PER_SEC, 1),
         "baseline_anchor": "torch-cpu measured 5.23 img/s (reference arch, "
                            "torch 2.13, 1 vCPU; benchmarks/torch_anchor.py)",
+        "timing_windows": bf16_windows,
     }
     if int8_images_per_sec:
         result["int8_images_per_sec"] = round(int8_images_per_sec, 2)
+        result["int8_timing_windows"] = int8_windows
         result["int8_quality"] = ("disp rel err median 0.41% / p95 5.0% vs "
                                   "fp32 (benchmarks/quant_bench.py, round-3 "
                                   "int8-through encoder chain)")

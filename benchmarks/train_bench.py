@@ -114,15 +114,22 @@ def main() -> None:
     float(m["loss"])
     dt = time.perf_counter() - t0
 
-    print(json.dumps({
+    result = {
         "metric": f"{args.mode}_train_images_per_sec_per_chip",
         "value": round(B * args.iters / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt / args.iters * 1000, 2),
         "batch": B,
+        "remat": args.remat,
         "bf16_grads": args.bf16_grads,
         "bf16_opt_state": args.bf16_opt_state,
-    }))
+    }
+    # peak HBM (the number --remat trades throughput for); absent on
+    # backends without memory_stats (CPU)
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if "peak_bytes_in_use" in stats:
+        result["peak_hbm_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
