@@ -24,9 +24,14 @@ def make_grain_loader(
     shuffle: bool = True,
     num_workers: int = 0,
     seed: int = 0,
+    num_epochs: int | None = 1,
 ):
     """Wrap an indexable dataset (SequenceFolder / ValidationSet) in a grain
-    DataLoader yielding dict batches with a static batch dimension."""
+    DataLoader yielding dict batches with a static batch dimension.
+
+    ``num_epochs=None`` builds an endless sampler (deterministic per-epoch
+    reshuffle from ``seed``) so ONE worker pool serves the whole training
+    run instead of being torn down and re-forked every epoch."""
     import grain.python as grain
 
     class _Source(grain.RandomAccessDataSource):
@@ -34,14 +39,20 @@ def make_grain_loader(
             return len(dataset)
 
         def __getitem__(self, idx):
-            return dataset[int(idx)]
+            sample = dataset[int(idx)]
+            # multiprocess workers batch into shared memory, which cannot
+            # allocate zero-byte segments — drop empty leaves (e.g. the
+            # (0, H, W, 3) ref_imgs a sequence_length=1 supervised
+            # SequenceFolder emits; no consumer reads them)
+            return {k: v for k, v in sample.items()
+                    if getattr(v, "size", 1) != 0}
 
     sampler = grain.IndexSampler(
         num_records=len(dataset),
         shard_options=grain.NoSharding(),
         shuffle=shuffle,
         seed=seed,
-        num_epochs=1,
+        num_epochs=num_epochs,
     )
     return grain.DataLoader(
         data_source=_Source(),

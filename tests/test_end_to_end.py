@@ -245,7 +245,8 @@ def test_batch_loader_propagates_dataset_errors():
 
 
 def test_trainer_with_grain_loader(dump_root, tmp_path):
-    """loader='grain' drives a full supervised epoch."""
+    """loader='grain' drives two epochs through ONE persistent worker pool
+    (the train loader's endless sampler survives the epoch boundary)."""
     pytest.importorskip("grain")
     from supervised_dispnet_tpu.models import DispResNet
     from supervised_dispnet_tpu.parallel import make_mesh
@@ -253,7 +254,7 @@ def test_trainer_with_grain_loader(dump_root, tmp_path):
 
     cfg = TrainerConfig(
         data=str(dump_root), save_path=str(tmp_path / "exp_grain"),
-        loss="l1", epochs=1, batch_size=2, workers=0,
+        loss="l1", epochs=2, batch_size=2, workers=0,
         img_height=H, img_width=W, loader="grain",
     )
     mesh = make_mesh(jax.devices()[:1])
@@ -320,3 +321,44 @@ def test_odometry_etl_selfsup_train_pose_eval(tmp_path, capsys):
                     "--batch-size", "4"])
     out = capsys.readouterr().out
     assert "ATE" in out and "RE" in out
+
+
+def test_log_images_selfsup_warp_under_remat(dump_root, tmp_path):
+    """Warp-image diagnostics survive --remat: the loss drops warped_results
+    in the remat branch (losses/selfsup.py), so _log_images re-forwards a
+    B=1 warp outside the train step and logs train/warped + train/diff
+    (reference: tensorboard warp images in ``train.py``)."""
+    from supervised_dispnet_tpu.data.loader import BatchLoader
+    from supervised_dispnet_tpu.data.sequence_folders import SequenceFolder
+    from supervised_dispnet_tpu.models import DispResNet, PoseExpNet
+    from supervised_dispnet_tpu.parallel import make_mesh
+    from supervised_dispnet_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        data=str(dump_root), save_path=str(tmp_path / "exp_warp"),
+        loss="selfsup", epochs=1, epoch_size=1, batch_size=2, workers=2,
+        img_height=H, img_width=W, remat=True, training_output_freq=1,
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, DispResNet(encoder_depth=18),
+                      PoseExpNet(nb_ref_imgs=2), mesh=mesh)
+    assert trainer._viz_warp is not None
+
+    class StubTB:
+        def __init__(self):
+            self.tags = set()
+
+        def add_image(self, tag, img, step):
+            img = np.asarray(img)
+            assert img.ndim == 3 and img.shape[0] == 3  # CHW RGB
+            assert np.isfinite(img).all()
+            self.tags.add(tag)
+
+    trainer.tb = StubTB()
+    ds = SequenceFolder(dump_root, train=True, sequence_length=3,
+                        with_depth=False)
+    np_batch = next(iter(BatchLoader(ds, batch_size=2, shuffle=False,
+                                     num_workers=1)))
+    trainer._log_images(np_batch, step=1)
+    assert {"train/disp", "train/input",
+            "train/warped", "train/diff"} <= trainer.tb.tags

@@ -34,6 +34,41 @@ def test_grain_loader_batches():
     assert b["depth"].shape == (4, H, W)
 
 
+def test_grain_loader_endless_sampler():
+    """num_epochs=None: one pool serves multiple epochs — the stream crosses
+    the epoch boundary (leftover records roll into the next epoch's batch)
+    instead of stopping at len(ds)//batch."""
+    pytest.importorskip("grain")
+    from supervised_dispnet_tpu.data.grain_loader import make_grain_loader
+
+    loader = make_grain_loader(_ToyDataset(), batch_size=4, shuffle=True,
+                               num_workers=0, seed=0, num_epochs=None)
+    it = iter(loader)
+    batches = [next(it) for _ in range(5)]  # 2 epochs' worth of 10//4
+    assert all(b["img"].shape == (4, H, W, 3) for b in batches)
+
+
+def test_grain_loader_drops_zero_size_leaves_multiprocess():
+    """Multiprocess grain workers batch into shared memory, which cannot
+    allocate zero-byte segments — a (0, H, W, 3) ref_imgs leaf (supervised
+    SequenceFolder at sequence_length=1) must be dropped at the source, not
+    crash the pool."""
+    pytest.importorskip("grain")
+    from supervised_dispnet_tpu.data.grain_loader import make_grain_loader
+
+    class _EmptyLeafDataset(_ToyDataset):
+        def __getitem__(self, i):
+            sample = super().__getitem__(i)
+            sample["ref_imgs"] = np.zeros((0, H, W, 3), dtype=np.float32)
+            return sample
+
+    loader = make_grain_loader(_EmptyLeafDataset(), batch_size=4,
+                               shuffle=False, num_workers=2, seed=0)
+    b = next(iter(loader))
+    assert "ref_imgs" not in b
+    assert b["img"].shape == (4, H, W, 3)
+
+
 def test_export_roundtrip(tmp_path):
     from supervised_dispnet_tpu.models import DispNetS
     from supervised_dispnet_tpu.utils.export import export_forward, load_forward
