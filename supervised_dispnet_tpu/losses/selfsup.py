@@ -39,6 +39,7 @@ def photometric_reconstruction_loss(
     use_pallas_warp: bool = False,
     half_res: bool = False,
     remat: bool = False,
+    batch_refs: bool = False,
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Multi-scale photometric L1 between target and inverse-warped refs.
 
@@ -61,6 +62,16 @@ def photometric_reconstruction_loss(
         (tests/test_losses.py); ``warped_results`` comes back empty (the
         finest warps would otherwise have to be stored, defeating the
         point; nothing in the train path consumes them).
+      batch_refs: warp ALL reference frames of a scale as one batched
+        ``inverse_warp`` of (R*B) images (one patch-pack + gather program
+        per scale instead of R). Exact: sum_r mean_r == R * mean(concat)
+        (tests/test_losses.py batched-parity) — but MEASURED SLOWER on
+        TPU (B=32 dispnet: 180 vs 354 img/s, 0.51x — the concatenated
+        ref/tgt/depth copies at every scale outweigh the per-op savings;
+        gathers are index-count-bound and batching does not cut index
+        count; BASELINE.md round-4 A/B, benchmarks/selfsup_warp_ab.py).
+        Default False (the reference's per-ref loop); kept as the
+        measured negative.
 
     Returns:
       (loss, warped_results): scalar loss and the finest-scale warped images
@@ -84,40 +95,90 @@ def photometric_reconstruction_loss(
             explainability_masks = [downsample2x_avg(m)
                                     for m in explainability_masks]
         scale0 = 0.5
+    R = len(refs_s)
+    B = tgt_img.shape[0]
     for s, depth in enumerate(depths):
         if s > 0:
             tgt_s = downsample2x_avg(tgt_s)
             refs_s = [downsample2x_avg(r) for r in refs_s]
         K_s = _scale_intrinsics(intrinsics, scale0 / (2**s))
-        for r, ref in enumerate(refs_s):
-            mask_sr = (explainability_masks[s][..., r : r + 1]
-                       if explainability_masks is not None else None)
 
-            def _term(ref, depth, pose_r, K_s, tgt_s, mask_sr):
-                warped, valid = inverse_warp(
-                    ref, depth, pose_r, K_s,
-                    rotation_mode=rotation_mode, padding_mode=padding_mode,
-                    use_pallas=use_pallas_warp,
-                    # the warped source is training DATA here — its
-                    # gradient is dead; skipping it selects the cheaper
-                    # coords-only VJP
-                    diff_img=False,
-                )
-                diff = (tgt_s - warped) * valid[..., None].astype(tgt_s.dtype)
-                if mask_sr is not None:
-                    diff = diff * mask_sr
-                return jnp.abs(diff).mean(), warped
+        if not batch_refs:
+            # per-reference-frame warps (the reference's loop shape) —
+            # the measured-faster default (see batch_refs docstring)
+            for r, ref in enumerate(refs_s):
+                mask_sr = (explainability_masks[s][..., r : r + 1]
+                           if explainability_masks is not None else None)
 
-            if remat:
-                total = total + jax.checkpoint(
-                    lambda *a: _term(*a)[0]
-                )(ref, depth, pose[:, r], K_s, tgt_s, mask_sr)
-            else:
-                term, warped = _term(ref, depth, pose[:, r], K_s, tgt_s,
-                                     mask_sr)
-                total = total + term
-                if s == 0:
-                    warped_log.append(warped)
+                def _term_r(ref, depth, pose_r, K_s, tgt_s, mask_sr):
+                    warped, valid = inverse_warp(
+                        ref, depth, pose_r, K_s,
+                        rotation_mode=rotation_mode,
+                        padding_mode=padding_mode,
+                        use_pallas=use_pallas_warp, diff_img=False,
+                    )
+                    diff = ((tgt_s - warped)
+                            * valid[..., None].astype(tgt_s.dtype))
+                    if mask_sr is not None:
+                        diff = diff * mask_sr
+                    return jnp.abs(diff).mean(), warped
+
+                if remat:
+                    total = total + jax.checkpoint(
+                        lambda *a: _term_r(*a)[0]
+                    )(ref, depth, pose[:, r], K_s, tgt_s, mask_sr)
+                else:
+                    term, warped = _term_r(ref, depth, pose[:, r], K_s,
+                                           tgt_s, mask_sr)
+                    total = total + term
+                    if s == 0:
+                        warped_log.append(warped)
+            continue
+
+        # ALL reference frames of this scale warp as ONE batched
+        # inverse_warp — one patch-pack + one gather of (R*B, h, w)
+        # indices instead of R. Measured 0.51x on TPU (see docstring):
+        # kept as the A/B arm, not the default.
+        # sum_r mean_r == R * mean(concat): exact, same normalization as
+        # the reference's per-ref means
+        # (reference: loss_functions.py::photometric_reconstruction_loss)
+        refs_cat = jnp.concatenate(refs_s, axis=0)        # (R*B, h, w, 3)
+        depth_cat = jnp.concatenate([depth] * R, axis=0)
+        pose_cat = jnp.concatenate([pose[:, r] for r in range(R)], axis=0)
+        K_cat = jnp.concatenate([K_s] * R, axis=0)
+        tgt_cat = jnp.concatenate([tgt_s] * R, axis=0)
+        mask_cat = None
+        if explainability_masks is not None:
+            m = explainability_masks[s]                   # (B, h, w, R)
+            mask_cat = jnp.moveaxis(m, -1, 0).reshape(
+                R * B, *m.shape[1:3], 1)
+
+        def _term(refs_cat, depth_cat, pose_cat, K_cat, tgt_cat, mask_cat):
+            warped, valid = inverse_warp(
+                refs_cat, depth_cat, pose_cat, K_cat,
+                rotation_mode=rotation_mode, padding_mode=padding_mode,
+                use_pallas=use_pallas_warp,
+                # the warped source is training DATA here — its
+                # gradient is dead; skipping it selects the cheaper
+                # coords-only VJP
+                diff_img=False,
+            )
+            diff = (tgt_cat - warped) * valid[..., None].astype(tgt_cat.dtype)
+            if mask_cat is not None:
+                diff = diff * mask_cat
+            return R * jnp.abs(diff).mean(), warped
+
+        if remat:
+            total = total + jax.checkpoint(
+                lambda *a: _term(*a)[0]
+            )(refs_cat, depth_cat, pose_cat, K_cat, tgt_cat, mask_cat)
+        else:
+            term, warped = _term(refs_cat, depth_cat, pose_cat, K_cat,
+                                 tgt_cat, mask_cat)
+            total = total + term
+            if s == 0:
+                warped_log.extend(
+                    warped[r * B:(r + 1) * B] for r in range(R))
     return total, warped_log
 
 

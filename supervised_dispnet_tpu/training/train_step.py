@@ -314,6 +314,7 @@ def make_selfsup_train_step(
     accum_steps: int = 1,
     fake_quant: bool = False,
     remat_photo: bool = False,
+    batch_refs: bool = False,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights). ``half_res_photo`` computes
@@ -365,7 +366,7 @@ def make_selfsup_train_step(
                 tgt, refs, K, depths, exp_masks, pose,
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
                 use_pallas_warp=use_pallas_warp, half_res=half_res_photo,
-                remat=remat_photo,
+                remat=remat_photo, batch_refs=batch_refs,
             )
             exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
             smooth = smooth_loss(disps)

@@ -208,6 +208,51 @@ def test_photometric_remat_loss_and_grads_equal():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.quick
+def test_photometric_batched_refs_loss_and_grads_equal():
+    """batch_refs=True (ONE (R*B)-batched inverse_warp per scale — the
+    measured-slower A/B arm, BASELINE.md round-4) must equal the per-ref
+    loop (batch_refs=False, the default) in loss, gradients, and the
+    logged finest warps: sum_r mean_r == R * mean(concat)."""
+    B, H, W = 2, 16, 32
+    rng = np.random.default_rng(11)
+    tgt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    refs = [jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+            for _ in range(2)]
+    K = jnp.asarray(np.broadcast_to(
+        np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                 np.float32), (B, 3, 3)).copy())
+    depths0 = [jnp.asarray(rng.uniform(3, 8, (B, H // 2**s, W // 2**s))
+                           .astype(np.float32)) for s in range(3)]
+    masks0 = [jnp.asarray(rng.uniform(0.2, 1, (B, H // 2**s, W // 2**s, 2))
+                          .astype(np.float32)) for s in range(3)]
+    pose0 = jnp.asarray(rng.uniform(-0.05, 0.05, (B, 2, 6))
+                        .astype(np.float32))
+
+    def loss_fn(depths, masks, pose, batch_refs):
+        l, _ = photometric_reconstruction_loss(
+            tgt, refs, K, depths, masks, pose, batch_refs=batch_refs)
+        return l
+
+    v0, g0 = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+        depths0, masks0, pose0, False)
+    v1, g1 = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+        depths0, masks0, pose0, True)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    _, w0 = photometric_reconstruction_loss(
+        tgt, refs, K, depths0, masks0, pose0, batch_refs=False)
+    _, w1 = photometric_reconstruction_loss(
+        tgt, refs, K, depths0, masks0, pose0, batch_refs=True)
+    assert len(w0) == len(w1) == 2
+    for a, b in zip(w0, w1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_multiscale_supervised_loss_runs():
     gt, pred, mask = _depth_pair(B=1, H=16, W=32, seed=9)
     preds = [jnp.asarray(pred[:, ::2**s, ::2**s]) for s in range(4)]
