@@ -1,7 +1,14 @@
 """Benchmark: KITTI Eigen-split inference throughput, images/sec/chip.
 
 Flagship config: DispResNet-50 forward at the reference eval resolution
-(128 x 416), bfloat16 compute (fp32 params/head), jitted.
+(128 x 416), bfloat16 compute (fp32 params/head), jitted, with the
+fused decoder (`fused_upsample=True`): each (2x bilinear upsample ->
+3x3 conv) decoder stage runs as ONE lhs-dilated conv on the same
+weights (exact reparametrization, ops/fused_upconv.py; parity tested in
+tests/test_models.py + tests/test_quant.py) — the full-res resize
+intermediates never hit HBM. Measured round 4 (B=256, best-of-3):
+bf16 6620.7 -> 6782.9, int8 8586.0 -> 9443.4 img/s
+(benchmarks/fused_decoder_bench.py).
 
 Timing protocol: each iteration's scalar output feeds the next iteration's
 input (a true serial dependency chain), and the final scalar is read back
@@ -88,7 +95,8 @@ def main() -> None:
 
     from supervised_dispnet_tpu.models import DispResNet
 
-    model = DispResNet(encoder_depth=50, dtype=jnp.bfloat16)
+    model = DispResNet(encoder_depth=50, dtype=jnp.bfloat16,
+                       fused_upsample=True)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, H, W, 3), jnp.float32)
     variables = model.init(rng, x)
@@ -153,6 +161,8 @@ def main() -> None:
         "baseline_anchor": "torch-cpu measured 5.23 img/s (reference arch, "
                            "torch 2.13, 1 vCPU; benchmarks/torch_anchor.py)",
         "timing_windows": bf16_windows,
+        "decoder": "fused_upsample (exact reparametrization; "
+                   "ops/fused_upconv.py)",
     }
     if int8_images_per_sec:
         result["int8_images_per_sec"] = round(int8_images_per_sec, 2)

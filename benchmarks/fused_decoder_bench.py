@@ -1,0 +1,119 @@
+"""Serving throughput: DispResNet-50 fused_upsample decoder vs the
+default (resize -> conv) decoder, bf16 and int8 — the VERDICT r3 item-6
+attempt at the decoder-structural HBM traffic (BASELINE.md round-3
+roofline: ~19 GB/step of bilinear-resize outputs + layout copies).
+
+bench.py serial-chain protocol, best of 3 windows.
+
+Run: python benchmarks/fused_decoder_bench.py [--batch 256] [--skip-int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+WARMUP, ITERS, WINDOWS = 3, 30, 3
+H, W = 128, 416
+
+
+def best_window(f, *args):
+    import jax.numpy as jnp
+
+    best = float("inf")
+    rates = []
+    for _ in range(WINDOWS):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s = f(*args, s)
+        float(s)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        rates.append(round(ITERS / dt, 2))
+    return best, rates
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--skip-int8", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    B = args.batch
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (B, H, W, 3), jnp.float32)
+
+    results = {}
+    models = {
+        "unfused": DispResNet(encoder_depth=50, dtype=jnp.bfloat16),
+        "fused": DispResNet(encoder_depth=50, dtype=jnp.bfloat16,
+                            fused_upsample=True),
+    }
+    variables = models["unfused"].init(rng, x)
+
+    outs = {}
+    for name, model in models.items():
+        @jax.jit
+        def fwd(v, x, s, model=model):
+            return jnp.sum(model.apply(v, x + s * 1e-30, train=False)[0])
+
+        s = jnp.float32(0.0)
+        for _ in range(WARMUP):
+            s = fwd(variables, x, s)
+        float(s)
+        dt, rates = best_window(fwd, variables, x)
+        results[f"bf16_{name}_img_s"] = round(B * ITERS / dt, 1)
+        results[f"bf16_{name}_windows"] = rates
+        outs[name] = jax.jit(
+            lambda v, x, model=model: model.apply(v, x, train=False)[0]
+        )(variables, x)
+        print(name, "bf16", results[f"bf16_{name}_img_s"], flush=True)
+
+    import numpy as np
+    d = np.abs(np.asarray(outs["fused"], np.float32)
+               - np.asarray(outs["unfused"], np.float32))
+    rel = d / np.abs(np.asarray(outs["unfused"], np.float32))
+    results["bf16_parity_rel_median"] = float(np.median(rel))
+    results["bf16_parity_rel_max"] = float(rel.max())
+
+    if not args.skip_int8:
+        from supervised_dispnet_tpu.ops.quant import (
+            calibrate_conv_ranges, quantized_apply)
+
+        for name, model in models.items():
+            ranges = calibrate_conv_ranges(model, variables, [x[:8]])
+
+            @jax.jit
+            def fwd_q(v, x, s, model=model, ranges=ranges):
+                return jnp.sum(quantized_apply(
+                    model, v, x + s * 1e-30, ranges=ranges)[0]
+                    .astype(jnp.float32))
+
+            s = jnp.float32(0.0)
+            for _ in range(WARMUP):
+                s = fwd_q(variables, x, s)
+            float(s)
+            dt, rates = best_window(fwd_q, variables, x)
+            results[f"int8_{name}_img_s"] = round(B * ITERS / dt, 1)
+            results[f"int8_{name}_windows"] = rates
+            print(name, "int8", results[f"int8_{name}_img_s"], flush=True)
+
+    results["batch"] = B
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

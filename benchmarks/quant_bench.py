@@ -47,6 +47,12 @@ def main() -> None:
                          "checkpoint mode renders training-domain scenes; "
                          "1 mirrors the eval CLIs' lazy first-batch "
                          "calibration)")
+    ap.add_argument("--fused-upsample", action="store_true",
+                    help="disp_res*: quantize the fused decoder "
+                         "(ops/fused_upconv.py; bench.py's round-4 "
+                         "default) — quality is still measured against "
+                         "the UNFUSED fp32 forward, so the reported "
+                         "error includes reparametrization + int8")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +67,7 @@ def main() -> None:
 
     enable_compile_cache()
 
-    model = get_disp_net(args.network)
+    model = get_disp_net(args.network, fused_upsample=args.fused_upsample)
     if hasattr(model, "dtype"):  # DispVggBN has no bf16-trunk knob
         model = model.clone(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -140,7 +146,9 @@ def main() -> None:
     # quality: relative disparity error vs the fp32 forward (fp32, not
     # bf16, is the quality reference); trained mode evaluates on the
     # training-domain val batch instead of random noise
-    model32 = get_disp_net(args.network)
+    model32 = get_disp_net(args.network)  # quality reference: UNFUSED fp32
+    model32q = get_disp_net(args.network,
+                            fused_upsample=args.fused_upsample)
     small = synth_val[0] if synth_val is not None else x[:16]
 
     def finest(out):
@@ -150,7 +158,7 @@ def main() -> None:
                       dtype=np.float32)
     d_q = np.asarray(
         jax.jit(lambda v, xx: finest(quantized_apply(
-            model32, v, xx, ranges=calib, exempt=exempt))
+            model32q, v, xx, ranges=calib, exempt=exempt))
         )(variables, small), dtype=np.float32)
     rel = np.abs(d_q - d_fp) / np.maximum(np.abs(d_fp), 1e-12)
 
@@ -164,6 +172,7 @@ def main() -> None:
         "disp_rel_err_p95": round(float(np.percentile(rel, 95)), 5),
         "disp_rel_err_max": round(float(rel.max()), 5),
         "exempt_stem": bool(args.exempt_stem),
+        "fused_upsample": bool(args.fused_upsample),
         "percentile": args.percentile,
         "calib_batches": args.calib_batches,
     }

@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-depth", action="store_true")
     p.add_argument("--save-npy", action="store_true")
     p.add_argument("--img-exts", nargs="+", default=["png", "jpg", "bmp"])
+    p.add_argument("--fused-upsample", action="store_true",
+                   help="disp_res*: fused decoder upsample-conv (exact; "
+                        "dims must be divisible by 32)")
     p.add_argument("--imagenet-normalization", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="serve with the int8 PTQ path (ops/quant.py): "
@@ -66,7 +69,8 @@ def main(argv: list[str] | None = None) -> None:
     from supervised_dispnet_tpu.models import get_disp_net
     from supervised_dispnet_tpu.utils.viz import save_depth_png
 
-    model = get_disp_net(args.network)
+    model = get_disp_net(args.network,
+                         fused_upsample=args.fused_upsample)
     params, batch_stats = load_params(
         args.pretrained, args.network, model, (args.img_height, args.img_width)
     )

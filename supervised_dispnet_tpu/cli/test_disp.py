@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "calibrate activation ranges on (first-batch-only "
                         "calibration is a silent quality dependency; more "
                         "batches widen the observed ranges)")
+    p.add_argument("--fused-upsample", action="store_true",
+                   help="disp_res* decoder: run (2x upsample -> conv) as "
+                        "ONE lhs-dilated conv (exact reparametrization of "
+                        "the same checkpoint; ops/fused_upconv.py) — "
+                        "removes the materialized full-res resize "
+                        "intermediates. Needs --img-height/width "
+                        "divisible by 32")
     p.add_argument("--percentile", type=float, default=None,
                    help="--int8: calibrate to this percentile of "
                         "|activation| instead of the max. 99.9 is the "
@@ -102,7 +109,8 @@ def main(argv: list[str] | None = None) -> None:
     from supervised_dispnet_tpu.models import get_disp_net
 
     head = "classification" if args.classification else "disp"
-    model = get_disp_net(args.network, head=head, num_bins=args.num_bins)
+    model = get_disp_net(args.network, head=head, num_bins=args.num_bins,
+                         fused_upsample=args.fused_upsample)
     img_hw = (args.img_height, args.img_width)
     params, batch_stats = load_params(
         args.pretrained_dispnet, args.network, model, img_hw, head=head

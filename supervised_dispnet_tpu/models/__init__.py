@@ -27,7 +27,7 @@ _REGISTRY = {
 
 def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
                  multiscale_classification: bool = False,
-                 remat: bool = False) -> nn.Module:
+                 remat: bool = False, fused_upsample: bool = False) -> nn.Module:
     """Build a disparity/depth network by its ``--network`` name."""
     key = name.lower()
     if key not in _REGISTRY:
@@ -40,6 +40,11 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
         raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
     if remat:
         kw["remat"] = True
+    if fused_upsample:
+        if not key.startswith("disp_res"):
+            raise ValueError(
+                f"--fused-upsample is only supported on disp_res*, got {name!r}")
+        kw["fused_upsample"] = True
     return _REGISTRY[key](**kw)
 
 

@@ -18,6 +18,7 @@ import flax.linen as nn
 
 from supervised_dispnet_tpu.models.common import DispHead, xavier_uniform
 from supervised_dispnet_tpu.models.resnet import ResNetEncoder
+from supervised_dispnet_tpu.ops.fused_upconv import upconv2x_fused
 from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
 DEC_PLANES = (16, 32, 64, 128, 256)
@@ -32,6 +33,55 @@ class _ConvELU3(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding=1, kernel_init=xavier_uniform,
                     dtype=self.dtype)(x)
         return nn.elu(x)
+
+
+class _FusedUpConvParams(nn.Module):
+    """Parameter-compatible stand-in for the ``nn.Conv`` inside a decoder
+    stage's post-upsample conv: declares the SAME ``kernel``/``bias``
+    (named ``Conv_0`` by the parent), but consumes the HALF-res ``h``
+    (+ optional skip) directly — upsample composed into the conv via
+    ``ops.fused_upconv.upconv2x_fused``, so the (B, 2H, 2W, C) resize
+    output never materializes in HBM."""
+
+    features: int
+    in_features: int  # h channels + skip channels (the concat width)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, h, skip=None):
+        kernel = self.param("kernel", xavier_uniform,
+                            (3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ch = h.shape[-1]
+        cdt = self.dtype or jnp.result_type(h.dtype, kernel.dtype)
+        k = kernel.astype(cdt)
+        y = upconv2x_fused(h.astype(cdt), k[:, :, :ch])
+        if skip is not None:
+            if skip.shape[1:3] != (2 * h.shape[1], 2 * h.shape[2]):
+                raise ValueError(
+                    "fused_upsample needs exact 2x stage geometry "
+                    f"(input dims divisible by 32); got h {h.shape} "
+                    f"vs skip {skip.shape}")
+            y = y + jax.lax.conv_general_dilated(
+                skip.astype(cdt), k[:, :, ch:], (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(cdt)
+
+
+class _FusedUpConvELU3(nn.Module):
+    """Fused replacement for (resize 2x -> concat skip -> _ConvELU3): the
+    child is named ``Conv_0`` so the param tree is identical to the
+    unfused stage — every checkpoint/converter works on both paths."""
+
+    features: int
+    in_features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, h, skip=None):
+        y = _FusedUpConvParams(self.features, self.in_features,
+                               dtype=self.dtype, name="Conv_0")(h, skip)
+        return nn.elu(y)
 
 
 class DispResNet(nn.Module):
@@ -50,6 +100,9 @@ class DispResNet(nn.Module):
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params fp32
     remat: bool = False  # checkpoint encoder blocks (memory for FLOPs)
     fold_bn: bool = False  # serving: BN absorbed into conv weights
+    fused_upsample: bool = False  # decoder (resize 2x -> conv) as ONE
+    #   lhs-dilated conv (exact; ops/fused_upconv.py) — kills the
+    #   materialized full-res resize intermediates; same param tree
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -62,15 +115,25 @@ class DispResNet(nn.Module):
         h = enc[-1]
         for i in range(4, -1, -1):
             h = _ConvELU3(DEC_PLANES[i], dtype=self.dtype, name=f"upconv{i}_0")(h)
-            # upsample 2x (bilinear; the reference decoder upsamples with
-            # interpolate)
-            if i > 0:
-                target = enc[i - 1]
-                h = resize_bilinear(h, target.shape[1], target.shape[2])
-                h = jnp.concatenate([h, target], axis=-1)
+            skip = enc[i - 1] if i > 0 else None
+            if self.fused_upsample:
+                # (resize -> concat -> conv) as one lhs-dilated conv + a
+                # skip conv, summed pre-bias — exact (tests/test_dispresnet
+                # fused parity); identical param tree
+                h = _FusedUpConvELU3(
+                    DEC_PLANES[i],
+                    h.shape[-1] + (skip.shape[-1] if skip is not None else 0),
+                    dtype=self.dtype, name=f"upconv{i}_1")(h, skip)
             else:
-                h = resize_bilinear(h, x.shape[1], x.shape[2])
-            h = _ConvELU3(DEC_PLANES[i], dtype=self.dtype, name=f"upconv{i}_1")(h)
+                # upsample 2x (bilinear; the reference decoder upsamples
+                # with interpolate)
+                if skip is not None:
+                    h = resize_bilinear(h, skip.shape[1], skip.shape[2])
+                    h = jnp.concatenate([h, skip], axis=-1)
+                else:
+                    h = resize_bilinear(h, x.shape[1], x.shape[2])
+                h = _ConvELU3(DEC_PLANES[i], dtype=self.dtype,
+                              name=f"upconv{i}_1")(h)
             outputs_feats[i] = h
 
         if self.head == "classification":

@@ -115,6 +115,13 @@ def _is_res_block(module: nn.Module) -> bool:
     return type(module) in (BasicBlock, Bottleneck)
 
 
+def _is_fused_upconv(module: nn.Module, method_name: str) -> bool:
+    from supervised_dispnet_tpu.models.dispresnet import _FusedUpConvParams
+
+    return (type(module) is _FusedUpConvParams
+            and method_name == "__call__")
+
+
 def calibrate_conv_ranges(
     model,
     variables,
@@ -155,6 +162,17 @@ def calibrate_conv_ranges(
             if _is_quantizable(context.module, context.method_name, exempt):
                 put(_conv_path(context.module),
                     _reduce(jnp.abs(args[0].astype(jnp.float32))))
+            elif (_is_fused_upconv(context.module, context.method_name)
+                  and (exempt is None or not exempt(context.module))):
+                # fused decoder stage: h and skip are quantized with
+                # SEPARATE scales (strictly finer than the unfused
+                # concat's shared scale)
+                put(_conv_path(context.module),
+                    _reduce(jnp.abs(args[0].astype(jnp.float32))))
+                skip = args[1] if len(args) > 1 else kwargs.get("skip")
+                if skip is not None:
+                    put(_conv_path(context.module) + "::skip",
+                        _reduce(jnp.abs(skip.astype(jnp.float32))))
             out = next_fun(*args, **kwargs)
             if (_is_res_block(context.module)
                     and context.method_name == "__call__"):
@@ -216,6 +234,83 @@ def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float,
     if bias is not None:
         out = out + jnp.asarray(bias).astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _int8_fused_upconv(module, h, skip, ranges, baked=None):
+    """int8 path for the fused decoder stage
+    (``models/dispresnet._FusedUpConvParams``): the composed 6x6
+    lhs-dilated conv runs int8-in/int8-weights directly on the HALF-res
+    tensor (edge-pad and the conv's inserted zeros are exact in int8), the
+    skip branch is a second int8 conv, both dequantized and summed with
+    the bias. The kernel is composed FIRST, then quantized per-output-
+    channel (finer than quantizing then composing). Border corrections
+    (ops/fused_upconv.py) are computed in fp on 1-px strips — they cancel
+    the main conv's phantom terms to within int8 rounding, which only
+    touches the 1-px output ring and is inside the serving noise floor
+    (quant_bench rel-err table)."""
+    from supervised_dispnet_tpu.ops.fused_upconv import (
+        _border_conv, _strip_up_phantom, compose_upsample_kernel)
+
+    path = _conv_path(module)
+    params = module.variables["params"]
+    kernel = params["kernel"].astype(jnp.float32)
+    bias = params["bias"].astype(jnp.float32)
+    ch = h.shape[-1]
+    kh, ks = kernel[:, :, :ch], kernel[:, :, ch:]
+
+    kc = compose_upsample_kernel(kh)  # (6, 6, ch, Cout)
+    wc_scale = jnp.maximum(
+        jnp.max(jnp.abs(kc), axis=(0, 1, 2)), 1e-12) / 127.0
+    wcq = jnp.round(kc / wc_scale).astype(jnp.int8)
+    in_scale = jnp.float32(ranges[path] / 127.0)
+    hq = jnp.round(
+        jnp.clip(h.astype(jnp.float32) / in_scale, -127.0, 127.0)
+    ).astype(jnp.int8)
+    hqp = jnp.pad(hq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dn = lax.conv_dimension_numbers(hqp.shape, wcq.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        hqp, wcq, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=dn, preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (in_scale * wc_scale)
+
+    # fp border corrections on the dequantized-equivalent input (strips)
+    hf = (hq.astype(jnp.float32) * in_scale)
+    B, H, W, _ = h.shape
+    khf = kh
+    corr_top = _border_conv(_strip_up_phantom(hf[:, 0]), khf[0], None)
+    corr_bot = _border_conv(_strip_up_phantom(hf[:, -1]), khf[2], None)
+    corr_left = _border_conv(_strip_up_phantom(hf[:, :, 0]), khf[:, 0], None)
+    corr_right = _border_conv(_strip_up_phantom(hf[:, :, -1]), khf[:, 2], None)
+
+    def dot(px, kk):
+        return jnp.tensordot(px, kk, axes=([-1], [0]))
+
+    corr_top = corr_top.at[:, 0].add(-dot(hf[:, 0, 0], khf[0, 0]))
+    corr_top = corr_top.at[:, -1].add(-dot(hf[:, 0, -1], khf[0, 2]))
+    corr_bot = corr_bot.at[:, 0].add(-dot(hf[:, -1, 0], khf[2, 0]))
+    corr_bot = corr_bot.at[:, -1].add(-dot(hf[:, -1, -1], khf[2, 2]))
+    y = y - jnp.pad(corr_top[:, None], ((0, 0), (0, 2 * H - 1), (0, 0), (0, 0)))
+    y = y - jnp.pad(corr_bot[:, None], ((0, 0), (2 * H - 1, 0), (0, 0), (0, 0)))
+    y = y - jnp.pad(corr_left[:, :, None], ((0, 0), (0, 0), (0, 2 * W - 1), (0, 0)))
+    y = y - jnp.pad(corr_right[:, :, None], ((0, 0), (0, 0), (2 * W - 1, 0), (0, 0)))
+
+    if skip is not None:
+        skey = path + "::skip"
+        ws_scale = jnp.maximum(
+            jnp.max(jnp.abs(ks), axis=(0, 1, 2)), 1e-12) / 127.0
+        wsq = jnp.round(ks / ws_scale).astype(jnp.int8)
+        s_scale = jnp.float32(ranges[skey] / 127.0)
+        sq = jnp.round(
+            jnp.clip(skip.astype(jnp.float32) / s_scale, -127.0, 127.0)
+        ).astype(jnp.int8)
+        dns = lax.conv_dimension_numbers(sq.shape, wsq.shape,
+                                         ("NHWC", "HWIO", "NHWC"))
+        y = y + lax.conv_general_dilated(
+            sq, wsq, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dns,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (s_scale * ws_scale)
+    return (y + bias).astype(h.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -763,6 +858,13 @@ def quantized_apply(
                 entry = baked.get(p) if baked is not None else None
                 return _int8_conv(context.module, fargs[0], ranges[p],
                                   baked_entry=entry)
+        if (_is_fused_upconv(context.module, context.method_name)
+                and (exempt is None or not exempt(context.module))):
+            p = _conv_path(context.module)
+            skip = fargs[1] if len(fargs) > 1 else fkwargs.get("skip")
+            if p in ranges and (skip is None or p + "::skip" in ranges):
+                return _int8_fused_upconv(context.module, fargs[0], skip,
+                                          ranges)
         return next_fun(*fargs, **fkwargs)
 
     with nn.intercept_methods(q_interceptor):

@@ -355,3 +355,34 @@ def test_profiler_clamps_to_short_epochs(tmp_path):
         jsonl = JsonlLogger(tmp_path / "run" / "m.jsonl")
         trainer.train_epoch(loader, logger, csv, jsonl)
         jsonl.close()
+
+
+def test_run_inference_fused_upsample_matches_unfused(tmp_path):
+    """--fused-upsample on a converted DispResNet-18 torch checkpoint:
+    same .npy depth outputs as the default decoder (exact
+    reparametrization; ops/fused_upconv.py)."""
+    import cv2
+
+    from supervised_dispnet_tpu.cli.run_inference import main
+    from tests.torch_ref import TorchDispResNet
+
+    torch.manual_seed(2)
+    ckpt = tmp_path / "dispnet_model_best.pth.tar"
+    torch.save({"epoch": 1,
+                "state_dict": TorchDispResNet(depth=18).state_dict()}, ckpt)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        cv2.imwrite(str(src / f"f{i}.png"),
+                    rng.uniform(0, 255, (32, 64, 3)).astype(np.uint8))
+    outs = {}
+    for tag, extra in (("plain", []), ("fused", ["--fused-upsample"])):
+        dst = tmp_path / f"out_{tag}"
+        main(["--pretrained", str(ckpt), "--network", "disp_res_18",
+              "--dataset-dir", str(src), "--output-dir", str(dst),
+              "--img-height", "32", "--img-width", "64", "--save-npy",
+              "--batch-size", "2"] + extra)
+        outs[tag] = np.load(dst / "f0_depth.npy")
+    np.testing.assert_allclose(outs["fused"], outs["plain"],
+                               rtol=1e-3, atol=1e-4)

@@ -213,3 +213,47 @@ def test_dispnet_remat_grads_equal():
     g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.quick
+def test_dispresnet_fused_upsample_parity():
+    """fused_upsample=True: identical param tree, identical outputs (to fp
+    rounding) and gradients vs the unfused decoder — the fused path is a
+    reparametrization of the same weights (ops/fused_upconv.py)."""
+    x = _img(B=2, h=32, w=64, seed=13)
+    m0 = DispResNet(encoder_depth=18)
+    m1 = DispResNet(encoder_depth=18, fused_upsample=True)
+    v0 = m0.init(jax.random.PRNGKey(3), x)
+    v1 = m1.init(jax.random.PRNGKey(3), x)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+    for a, b in zip(jax.tree_util.tree_leaves(v0),
+                    jax.tree_util.tree_leaves(v1)):
+        assert a.shape == b.shape
+
+    d0 = m0.apply(v0, x, train=False)
+    d1 = m1.apply(v0, x, train=False)
+    for a, b in zip(d0, d1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def loss(m, p):
+        return jnp.mean(m.apply({**v0, "params": p}, x, train=False)[0])
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v0["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v0["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_dispresnet_fused_upsample_classification_head():
+    """fused decoder composes with the classification head."""
+    x = _img(B=1, h=32, w=64, seed=14)
+    m0 = DispResNet(encoder_depth=18, head="classification", num_bins=8)
+    m1 = DispResNet(encoder_depth=18, head="classification", num_bins=8,
+                    fused_upsample=True)
+    v = m0.init(jax.random.PRNGKey(5), x)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(v, x, train=False)),
+        np.asarray(m1.apply(v, x, train=False)), rtol=1e-4, atol=1e-5)

@@ -429,3 +429,34 @@ def test_selfsup_step_fake_quant_trains():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_fused_upsample_int8_close_to_fp_and_unfused_int8():
+    """fused_upsample int8: calibration records per-stage h (+ ::skip)
+    ranges, the composed 6x6 lhs-dilated conv runs int8, and the output
+    stays within the usual serving tolerance of BOTH the fp forward and
+    the unfused int8 forward."""
+    m_fp = DispResNet(encoder_depth=18)
+    m_fu = DispResNet(encoder_depth=18, fused_upsample=True)
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    v = m_fp.init(rng, x)
+
+    r_fu = calibrate_conv_ranges(m_fu, v, [x])
+    assert any(k.endswith("::skip") for k in r_fu), "skip ranges recorded"
+    r_un = calibrate_conv_ranges(m_fp, v, [x])
+
+    fp = np.asarray(m_fp.apply(v, x, train=False)[0])
+    q_fu = np.asarray(jax.jit(
+        lambda vv, xx: quantized_apply(m_fu, vv, xx, ranges=r_fu)
+    )(v, x)[0])
+    q_un = np.asarray(jax.jit(
+        lambda vv, xx: quantized_apply(m_fp, vv, xx, ranges=r_un)
+    )(v, x)[0])
+
+    rel = np.abs(q_fu - fp) / np.abs(fp)
+    assert np.median(rel) < 0.02 and rel.max() < 0.2
+    # fused int8 is as close to fp as the unfused int8 path is (same
+    # noise floor; borders included)
+    rel_un = np.abs(q_un - fp) / np.abs(fp)
+    assert np.median(rel) < max(2.5 * np.median(rel_un), 0.02)
