@@ -208,12 +208,15 @@ def test_photometric_remat_loss_and_grads_equal():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-@pytest.mark.quick
 def test_photometric_batched_refs_loss_and_grads_equal():
     """batch_refs=True (ONE (R*B)-batched inverse_warp per scale — the
     measured-slower A/B arm, BASELINE.md round-4) must equal the per-ref
     loop (batch_refs=False, the default) in loss, gradients, and the
-    logged finest warps: sum_r mean_r == R * mean(concat)."""
+    logged finest warps: sum_r mean_r == R * mean(concat).
+
+    Full tier (not `quick`): the non-default arm's grad compile costs
+    ~40 s; quick's losses representative is the identity-pose golden
+    test above."""
     B, H, W = 2, 16, 32
     rng = np.random.default_rng(11)
     tgt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))

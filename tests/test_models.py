@@ -217,9 +217,12 @@ def test_dispnet_remat_grads_equal():
 
 @pytest.mark.quick
 def test_dispresnet_fused_upsample_parity():
-    """fused_upsample=True: identical param tree, identical outputs (to fp
-    rounding) and gradients vs the unfused decoder — the fused path is a
-    reparametrization of the same weights (ops/fused_upconv.py)."""
+    """fused_upsample=True: identical param tree and identical outputs (to
+    fp rounding) vs the unfused decoder — the fused path is a
+    reparametrization of the same weights (ops/fused_upconv.py). Grad
+    parity is the full-tier test below (its backward compile of two full
+    decoder graphs costs ~80 s; quick's op-level grad representative is
+    tests/test_fused_upconv.py::test_fused_upconv_grad_parity)."""
     x = _img(B=2, h=32, w=64, seed=13)
     m0 = DispResNet(encoder_depth=18)
     m1 = DispResNet(encoder_depth=18, fused_upsample=True)
@@ -236,6 +239,15 @@ def test_dispresnet_fused_upsample_parity():
     for a, b in zip(d0, d1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dispresnet_fused_upsample_grad_parity():
+    """Gradients through the fused decoder equal the unfused decoder's —
+    training works identically on either path."""
+    x = _img(B=2, h=32, w=64, seed=13)
+    m0 = DispResNet(encoder_depth=18)
+    m1 = DispResNet(encoder_depth=18, fused_upsample=True)
+    v0 = m0.init(jax.random.PRNGKey(3), x)
 
     def loss(m, p):
         return jnp.mean(m.apply({**v0, "params": p}, x, train=False)[0])
