@@ -43,12 +43,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--network", default="disp_res_50",
+                    choices=["disp_res_18", "disp_res_50", "disp_vgg_bn"])
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from supervised_dispnet_tpu.models import DispResNet
+    from supervised_dispnet_tpu.models import DispResNet, DispVggBN
     from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()
@@ -56,12 +58,15 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (B, H, W, 3), jnp.float32)
 
-    results = {}
-    models = {
-        "unfused": DispResNet(encoder_depth=50, dtype=jnp.bfloat16),
-        "fused": DispResNet(encoder_depth=50, dtype=jnp.bfloat16,
-                            fused_upsample=True),
-    }
+    def build(fused: bool):
+        if args.network == "disp_vgg_bn":
+            return DispVggBN(dtype=jnp.bfloat16, fused_upsample=fused)
+        depth = 18 if args.network == "disp_res_18" else 50
+        return DispResNet(encoder_depth=depth, dtype=jnp.bfloat16,
+                          fused_upsample=fused)
+
+    results = {"network": args.network}
+    models = {"unfused": build(False), "fused": build(True)}
     variables = models["unfused"].init(rng, x)
 
     outs = {}

@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-npy", action="store_true")
     p.add_argument("--img-exts", nargs="+", default=["png", "jpg", "bmp"])
     p.add_argument("--fused-upsample", action="store_true",
-                   help="disp_res*: fused decoder upsample-conv (exact; "
+                   help="disp_res*/disp_vgg_bn: fused decoder upsample-conv (exact; "
                         "dims must be divisible by 32)")
     p.add_argument("--imagenet-normalization", action="store_true")
     p.add_argument("--int8", action="store_true",

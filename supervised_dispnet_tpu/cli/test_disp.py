@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "calibration is a silent quality dependency; more "
                         "batches widen the observed ranges)")
     p.add_argument("--fused-upsample", action="store_true",
-                   help="disp_res* decoder: run (2x upsample -> conv) as "
+                   help="disp_res*/disp_vgg_bn decoder: run (2x upsample -> conv) as "
                         "ONE lhs-dilated conv (exact reparametrization of "
                         "the same checkpoint; ops/fused_upconv.py) — "
                         "removes the materialized full-res resize "

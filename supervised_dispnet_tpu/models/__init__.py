@@ -41,9 +41,10 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
     if remat:
         kw["remat"] = True
     if fused_upsample:
-        if not key.startswith("disp_res"):
+        if not (key.startswith("disp_res") or key == "disp_vgg_bn"):
             raise ValueError(
-                f"--fused-upsample is only supported on disp_res*, got {name!r}")
+                "--fused-upsample is only supported on disp_res* / "
+                f"disp_vgg_bn (resize->conv decoders), got {name!r}")
         kw["fused_upsample"] = True
     return _REGISTRY[key](**kw)
 

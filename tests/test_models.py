@@ -259,6 +259,47 @@ def test_dispresnet_fused_upsample_grad_parity():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_dispvgg_fused_upsample_parity():
+    """DispVggBN fused_upsample: identical param tree and identical
+    outputs (to fp rounding) vs the unfused decoder — same exact
+    reparametrization as DispResNet's (shared _FusedUpConvParams
+    module, ops/fused_upconv.py)."""
+    x = _img(B=2, h=32, w=64, seed=15)
+    m0 = DispVggBN()
+    m1 = DispVggBN(fused_upsample=True)
+    v0 = m0.init(jax.random.PRNGKey(4), x)
+    v1 = m1.init(jax.random.PRNGKey(4), x)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+    for a, b in zip(jax.tree_util.tree_leaves(v0),
+                    jax.tree_util.tree_leaves(v1)):
+        assert a.shape == b.shape
+
+    d0 = m0.apply(v0, x, train=False)
+    d1 = m1.apply(v0, x, train=False)
+    for a, b in zip(d0, d1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dispvgg_fused_upsample_grad_parity():
+    """Gradients through the fused VGG decoder equal the unfused
+    decoder's — the fused path trains identically."""
+    x = _img(B=2, h=32, w=64, seed=15)
+    m0 = DispVggBN()
+    m1 = DispVggBN(fused_upsample=True)
+    v0 = m0.init(jax.random.PRNGKey(4), x)
+
+    def loss(m, p):
+        return jnp.mean(m.apply({**v0, "params": p}, x, train=False)[0])
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v0["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v0["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_dispresnet_fused_upsample_classification_head():
     """fused decoder composes with the classification head."""
     x = _img(B=1, h=32, w=64, seed=14)

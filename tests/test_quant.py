@@ -460,3 +460,26 @@ def test_fused_upsample_int8_close_to_fp_and_unfused_int8():
     # noise floor; borders included)
     rel_un = np.abs(q_un - fp) / np.abs(fp)
     assert np.median(rel) < max(2.5 * np.median(rel_un), 0.02)
+
+
+def test_dispvgg_fused_upsample_int8_close_to_fp():
+    """DispVggBN fused_upsample through the int8 path: the shared
+    _FusedUpConvParams interception engages (per-stage h + ::skip
+    ranges) and quality stays at the serving noise floor."""
+    from supervised_dispnet_tpu.models import DispVggBN
+
+    m_fp = DispVggBN()
+    m_fu = DispVggBN(fused_upsample=True)
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    v = m_fp.init(rng, x)
+
+    r_fu = calibrate_conv_ranges(m_fu, v, [x])
+    assert any(k.endswith("::skip") for k in r_fu), "skip ranges recorded"
+
+    fp = np.asarray(m_fp.apply(v, x, train=False)[0])
+    q_fu = np.asarray(jax.jit(
+        lambda vv, xx: quantized_apply(m_fu, vv, xx, ranges=r_fu)
+    )(v, x)[0])
+    rel = np.abs(q_fu - fp) / np.abs(fp)
+    assert np.median(rel) < 0.02 and rel.max() < 0.2
