@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accum-steps", type=int, default=1,
                    help=">1: gradient accumulation over k micro-batches "
                         "(effective batch = k * batch-size, same HBM)")
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help=">1: also shard image height over a second mesh "
+                        "axis (GSPMD conv halo exchange) — for full-"
+                        "resolution inputs whose activations outgrow one "
+                        "chip; needs height/max-stride >= shards and "
+                        "devices divisible by shards")
     p.add_argument("--profile-steps", type=int, default=0,
                    help=">0: capture a jax.profiler trace of this many "
                         "steady-state train steps into <run>/profile")
@@ -202,6 +208,7 @@ def main(argv: list[str] | None = None) -> None:
         steps_per_dispatch=args.steps_per_dispatch,
         profile_steps=args.profile_steps,
         accum_steps=args.accum_steps,
+        spatial_shards=args.spatial_shards,
         training_output_freq=args.training_output_freq,
         resume=args.resume,
     )

@@ -5,6 +5,17 @@ from supervised_dispnet_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    spatial_size,
+    DATA_AXIS,
+    SPATIAL_AXIS,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "spatial_size",
+    "DATA_AXIS",
+    "SPATIAL_AXIS",
+]

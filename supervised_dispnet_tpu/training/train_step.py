@@ -36,7 +36,9 @@ from supervised_dispnet_tpu.losses import (
     logits_to_depth,
 )
 from supervised_dispnet_tpu.losses.classification import DepthBins
-from supervised_dispnet_tpu.parallel.mesh import DATA_AXIS
+from supervised_dispnet_tpu.parallel.mesh import (
+    DATA_AXIS, SPATIAL_AXIS, spatial_size,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -163,6 +165,38 @@ def _depth_to_float(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
+def _model_max_stride(model) -> int:
+    """Deepest feature-map stride of a network — the spatial-
+    partitioning guard needs it (every conv level must keep >= 1 row
+    per spatial shard). DispNetS and the pose nets have 7 stride-2
+    stages (stride 128); the ResNet/VGG/FCRN encoders stop at 32."""
+    from supervised_dispnet_tpu.models import DispNetS, PoseExpNet, PoseNet
+
+    return 128 if isinstance(model, (DispNetS, PoseExpNet, PoseNet)) else 32
+
+
+def _spatial_constrain(x, mesh, max_stride: int = 32):
+    """Shard image height over the mesh's spatial axis (no-op without
+    one): GSPMD then partitions every conv along H with halo exchanges
+    over ICI — the per-device activation working set scales down with
+    the mesh (full-resolution inputs fit and speed up with no model
+    change). Guard: below 1 row per shard at the deepest level, XLA's
+    windowed-partition transpose silently degrades the gradients
+    (measured round 4: rel err O(1) at H/32 < shards, <=1.3e-4 at
+    exactly 1 row/shard, 1.5e-6 at >= 2)."""
+    sp = spatial_size(mesh)
+    if sp == 1:
+        return x
+    if x.shape[1] < max_stride * sp:
+        raise ValueError(
+            f"spatial partitioning needs height {x.shape[1]} >= "
+            f"max_stride {max_stride} * spatial shards {sp} (>= 1 row "
+            "per shard at the deepest conv level); lower --spatial-shards "
+            "or raise the input height")
+    spec = P(DATA_AXIS, SPATIAL_AXIS, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def _collapse_single_device_mesh(mesh):
     """A 1-device mesh gets NO sharding annotations: committed-sharded
     dispatch is pathologically slow through the axon TPU relay (measured
@@ -232,7 +266,8 @@ def make_supervised_train_step(
             key, _imgs_to_float(batch["tgt"])[:, None], batch["intrinsics"],
             _depth_to_float(batch["depth"]), config=aug
         )
-        x = imgs[:, 0]
+        x = _spatial_constrain(imgs[:, 0], mesh, _model_max_stride(model))
+        depth_gt = _spatial_constrain(depth_gt, mesh)
         mask = (depth_gt > 0) & (depth_gt < max_depth)
 
         def loss_fn(params):
@@ -335,8 +370,10 @@ def make_selfsup_train_step(
             [_imgs_to_float(batch["tgt"])[:, None],
              _imgs_to_float(batch["ref_imgs"])], axis=1)
         imgs, K = augment_batch(key, snippet, batch["intrinsics"], config=aug)
-        tgt = imgs[:, 0]
-        refs = [imgs[:, 1 + r] for r in range(nb_ref_imgs)]
+        stride = max(_model_max_stride(disp_model), _model_max_stride(pose_model))
+        tgt = _spatial_constrain(imgs[:, 0], mesh, stride)
+        refs = [_spatial_constrain(imgs[:, 1 + r], mesh, stride)
+                for r in range(nb_ref_imgs)]
 
         def loss_fn(params):
             if fake_quant:
@@ -433,8 +470,11 @@ def make_selfsup_eval_step(
         return x
 
     def step(params, batch_stats, batch):
-        tgt = prep(batch["tgt"])
-        refs = [prep(batch["ref_imgs"][:, r]) for r in range(nb_ref_imgs)]
+        stride = max(_model_max_stride(disp_model),
+                     _model_max_stride(pose_model))
+        tgt = _spatial_constrain(prep(batch["tgt"]), mesh, stride)
+        refs = [_spatial_constrain(prep(batch["ref_imgs"][:, r]), mesh, stride)
+                for r in range(nb_ref_imgs)]
         disps, _ = _apply(disp_model, params["disp"], batch_stats["disp"],
                           tgt, train=False)
         disps = disps[:num_scales]
@@ -486,6 +526,7 @@ def make_eval_step(
             from supervised_dispnet_tpu.data.augment import normalize_images
 
             img = normalize_images(img, aug.mean, aug.std)
+        img = _spatial_constrain(img, mesh, _model_max_stride(model))
         out, _ = _apply(model, params["disp"], batch_stats["disp"], img, train=False)
         if classification:
             if isinstance(out, (list, tuple)):
@@ -495,7 +536,7 @@ def make_eval_step(
             depth = 1.0 / out[0][..., 0]
         else:  # FCRN-style direct depth
             depth = out[..., 0]
-        gt = _depth_to_float(batch["depth"])
+        gt = _spatial_constrain(_depth_to_float(batch["depth"]), mesh)
         mask = (gt > 0) & (gt < max_depth)
         return compute_errors(gt, depth, mask)
 

@@ -107,6 +107,10 @@ class TrainerConfig:
     #   convergence parity measured in BASELINE.md)
     bf16_opt_state: bool = False  # store Adam's first moment in bf16
     #   (optax mu_dtype; halves that slice of optimizer-state HBM)
+    spatial_shards: int = 1  # >1: also shard image HEIGHT over a second
+    #   mesh axis (GSPMD conv halo exchange over ICI) — the lever for
+    #   full-resolution inputs whose activations outgrow one chip's HBM.
+    #   Needs height/max_stride >= spatial_shards (validated at trace)
 
 
 def build_lr_schedule(cfg: TrainerConfig):
@@ -184,15 +188,21 @@ class Trainer:
         self.pose_model = pose_model
         if mesh is None:
             devices = jax.devices()
-            # the batch axis shards over the mesh: use the largest device
-            # count that divides the batch size
+            sp = max(1, cfg.spatial_shards)
+            # the batch axis shards over the data axis: use the largest
+            # device count where devices/spatial divides the batch size
             n = len(devices)
-            while n > 1 and cfg.batch_size % n != 0:
+            while n > sp and (n % sp != 0
+                              or cfg.batch_size % (n // sp) != 0):
                 n -= 1
+            if sp > 1 and n % sp != 0:
+                raise ValueError(
+                    f"--spatial-shards {sp} does not divide the device "
+                    f"count {len(devices)}")
             if n != len(devices):
                 print(f"=> batch {cfg.batch_size} not divisible by "
                       f"{len(devices)} devices; using {n}")
-            mesh = make_mesh(devices[:n])
+            mesh = make_mesh(devices[:n], spatial=sp)
         self.mesh = mesh
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
