@@ -38,6 +38,10 @@ def main() -> None:
                          "probe — VERDICT r2 item 6)")
     ap.add_argument("--bf16-opt-state", action="store_true",
                     help="store Adam's first moment in bf16 (mu_dtype)")
+    ap.add_argument("--img-height", type=int, default=128,
+                    help="input height (full-res KITTI sweep: 384)")
+    ap.add_argument("--img-width", type=int, default=416,
+                    help="input width (full-res KITTI sweep: 1280)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +68,7 @@ def main() -> None:
         lr=1e-4, bf16_grads=args.bf16_grads,
         bf16_opt_state=args.bf16_opt_state))
 
-    H, W, B = 128, 416, args.batch
+    H, W, B = args.img_height, args.img_width, args.batch
     rng = np.random.default_rng(0)
     K = np.broadcast_to(
         np.array([[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1]], np.float32),
@@ -120,6 +124,7 @@ def main() -> None:
         "unit": "images/sec/chip",
         "ms_per_step": round(dt / args.iters * 1000, 2),
         "batch": B,
+        "resolution": f"{H}x{W}",
         "remat": args.remat,
         "bf16_grads": args.bf16_grads,
         "bf16_opt_state": args.bf16_opt_state,

@@ -45,6 +45,7 @@ def _sup_batch(B=8, seed=0, h=H, w=W):
     return {"tgt": tgt, "intrinsics": K, "depth": depth}
 
 
+@pytest.mark.quick
 def test_make_mesh_spatial_axes():
     mesh = make_mesh(jax.devices()[:8], spatial=2)
     assert mesh.axis_names == ("data", "spatial")
