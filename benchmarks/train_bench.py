@@ -38,6 +38,10 @@ def main() -> None:
                          "probe — VERDICT r2 item 6)")
     ap.add_argument("--bf16-opt-state", action="store_true",
                     help="store Adam's first moment in bf16 (mu_dtype)")
+    ap.add_argument("--fused-upsample", action="store_true",
+                    help="build the disp net with the fused decoder "
+                         "(upsample composed into each decoder conv; "
+                         "disp_res_* / disp_vgg_bn)")
     ap.add_argument("--img-height", type=int, default=128,
                     help="input height (full-res KITTI sweep: 384)")
     ap.add_argument("--img-width", type=int, default=416,
@@ -79,7 +83,8 @@ def main() -> None:
     if args.mode == "supervised":
         model = get_disp_net(args.network, head="classification"
                              if args.loss == "classification" else "disp",
-                             remat=args.remat)
+                             remat=args.remat,
+                             fused_upsample=args.fused_upsample)
         if hasattr(model, "dtype"):
             model = model.clone(dtype=jnp.bfloat16)
         state = create_train_state(model, (tgt0,), tx)
@@ -92,7 +97,8 @@ def main() -> None:
             "depth": jnp.asarray(depth),
         }
     else:
-        model = get_disp_net("dispnet", remat=args.remat)
+        model = get_disp_net("dispnet", remat=args.remat,
+                             fused_upsample=args.fused_upsample)
         if hasattr(model, "dtype"):
             model = model.clone(dtype=jnp.bfloat16)
         pose = PoseExpNet(nb_ref_imgs=2, output_exp=True, dtype=jnp.bfloat16)
@@ -126,6 +132,7 @@ def main() -> None:
         "batch": B,
         "resolution": f"{H}x{W}",
         "remat": args.remat,
+        "fused_upsample": args.fused_upsample,
         "bf16_grads": args.bf16_grads,
         "bf16_opt_state": args.bf16_opt_state,
     }

@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "holding them in HBM — raises the batch size the "
                         "working set allows (the self-sup B=64 cliff is "
                         "activation-bound); all --network choices")
+    p.add_argument("--fused-upsample", action="store_true",
+                   help="build the disp net's decoder with each 2x "
+                        "upsample composed into the following conv (one "
+                        "lhs-dilated conv, exact — ops/fused_upconv.py): "
+                        "the full-res resize intermediates never hit HBM, "
+                        "forward OR backward. Same param tree, so the "
+                        "checkpoint serves fused or unfused. disp_res_* / "
+                        "disp_vgg_bn only")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware training: fake-quantize every "
                         "quantizable conv of the disp net so the "
@@ -202,6 +210,7 @@ def main(argv: list[str] | None = None) -> None:
         remat=args.remat,
         use_pallas_losses=args.use_pallas_losses,
         qat=args.qat,
+        fused_upsample=args.fused_upsample,
         bf16=args.bf16,
         debug_nans=args.debug_nans,
         loader=args.loader,
@@ -217,7 +226,7 @@ def main(argv: list[str] | None = None) -> None:
     disp_model = get_disp_net(
         args.network, head=head, num_bins=args.num_bins,
         multiscale_classification=args.multiscale_classification,
-        remat=args.remat)
+        remat=args.remat, fused_upsample=args.fused_upsample)
     pose_model = None
     if args.loss == "selfsup":
         pose_model = PoseExpNet(nb_ref_imgs=args.sequence_length - 1,

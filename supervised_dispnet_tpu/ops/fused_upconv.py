@@ -77,6 +77,7 @@ def upconv2x_fused(
     x: jax.Array,
     kernel: jax.Array,
     precision=None,
+    composed_kernel: jax.Array | None = None,
 ) -> jax.Array:
     """Exactly ``conv3x3_zeropad(resize_bilinear_2x(x), kernel)`` without
     materializing the upsampled tensor.
@@ -84,12 +85,19 @@ def upconv2x_fused(
     Args:
       x: (B, H, W, Cin) half-resolution input.
       kernel: (3, 3, Cin, Cout) conv kernel (HWIO).
+      composed_kernel: optional (6, 6, Cin, Cout) override for the MAIN
+        lhs-dilated conv (default: ``compose_upsample_kernel(kernel)``).
+        The QAT fake-quant path passes the quantize-dequantized composed
+        kernel here — mirroring the serving int8 path, which quantizes
+        the composed kernel per-output-channel while the 1-px border
+        corrections stay fp with the raw 3x3 ``kernel``.
 
     Returns: (B, 2H, 2W, Cout). Bias/activation are the caller's.
     """
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
-    kc = compose_upsample_kernel(kernel)
+    kc = (compose_upsample_kernel(kernel)
+          if composed_kernel is None else composed_kernel)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = lax.conv_general_dilated(
         xp, kc, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),

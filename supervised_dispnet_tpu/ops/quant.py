@@ -780,11 +780,58 @@ def _fake_quant_conv(module: nn.Conv, x: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _fake_quant_fused_upconv(module, h, skip) -> jax.Array:
+    """``_FusedUpConvParams.__call__`` with the QDQ noise the int8 serving
+    path (:func:`_int8_fused_upconv`) injects: the COMPOSED 6x6 kernel is
+    quantize-dequantized per-output-channel (compose first, then quantize
+    — finer than quantizing the 3x3), ``h`` and ``skip`` get SEPARATE
+    per-tensor scales, and the 1-px border corrections stay fp on the
+    QDQ'd input — exactly the serving arithmetic, so a `--qat
+    --fused-upsample` checkpoint trains against the grid it will serve
+    on. Straight-through gradients throughout."""
+    from supervised_dispnet_tpu.ops.fused_upconv import (
+        compose_upsample_kernel, upconv2x_fused)
+
+    params = module.variables["params"]
+    kernel = params["kernel"].astype(jnp.float32)
+    bias = params["bias"].astype(jnp.float32)
+    ch = h.shape[-1]
+    kh, ks = kernel[:, :, :ch], kernel[:, :, ch:]
+
+    kc = compose_upsample_kernel(kh)
+    wc_scale = jnp.maximum(
+        jnp.max(jnp.abs(lax.stop_gradient(kc)), axis=(0, 1, 2)),
+        1e-12) / 127.0
+    kcq = _qdq_ste(kc, wc_scale)
+    hf = h.astype(jnp.float32)
+    in_scale = jnp.maximum(
+        jnp.max(jnp.abs(lax.stop_gradient(hf))), 1e-12) / 127.0
+    hq = _qdq_ste(hf, in_scale)
+    y = upconv2x_fused(hq, kh, composed_kernel=kcq)
+
+    if skip is not None:
+        sf = skip.astype(jnp.float32)
+        ws_scale = jnp.maximum(
+            jnp.max(jnp.abs(lax.stop_gradient(ks)), axis=(0, 1, 2)),
+            1e-12) / 127.0
+        ksq = _qdq_ste(ks, ws_scale)
+        s_scale = jnp.maximum(
+            jnp.max(jnp.abs(lax.stop_gradient(sf))), 1e-12) / 127.0
+        sq = _qdq_ste(sf, s_scale)
+        y = y + lax.conv_general_dilated(
+            sq, ksq, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=lax.conv_dimension_numbers(
+                sq.shape, ksq.shape, ("NHWC", "HWIO", "NHWC")))
+    return (y + bias).astype(h.dtype)
+
+
 def fake_quant_methods(exempt: Callable[[nn.Module], bool] | None = None):
     """Context manager for QAT forwards: inside it, every quantizable
     ``nn.Conv`` (same predicate the serving path uses — disparity heads
     and grouped convs stay fp; dilated convs ARE in scope) runs
-    fake-quantized. Wrap the model apply of a train step::
+    fake-quantized, and fused decoder stages
+    (``models/dispresnet._FusedUpConvParams``) run the serving int8
+    arithmetic's QDQ mirror. Wrap the model apply of a train step::
 
         with fake_quant_methods():
             out, new_bs = model.apply(...)
@@ -793,6 +840,10 @@ def fake_quant_methods(exempt: Callable[[nn.Module], bool] | None = None):
     def fq(next_fun, fargs, fkwargs, context):
         if _is_quantizable(context.module, context.method_name, exempt):
             return _fake_quant_conv(context.module, fargs[0])
+        if (_is_fused_upconv(context.module, context.method_name)
+                and (exempt is None or not exempt(context.module))):
+            skip = fargs[1] if len(fargs) > 1 else fkwargs.get("skip")
+            return _fake_quant_fused_upconv(context.module, fargs[0], skip)
         return next_fun(*fargs, **fkwargs)
 
     return nn.intercept_methods(fq)

@@ -77,6 +77,10 @@ class TrainerConfig:
     qat: bool = False  # quantization-aware training: fake-quant every
     #   quantizable conv of the disp net (ops/quant.py::fake_quant_methods)
     #   so the checkpoint serves --int8 with less quality loss than PTQ
+    fused_upsample: bool = False  # --fused-upsample: the disp net is built
+    #   with the fused decoder (2x upsample composed into each decoder
+    #   conv, ops/fused_upconv.py) by the CLI; exact reparametrization,
+    #   identical param tree — checkpoints interchangeable with unfused
     debug_nans: bool = False  # jax nan-checker (SURVEY aux: sanitizers)
     training_output_freq: int = 0  # tensorboard disp images every N iters
     #   (reference: train.py --training-output-freq)

@@ -483,3 +483,30 @@ def test_dispvgg_fused_upsample_int8_close_to_fp():
     )(v, x)[0])
     rel = np.abs(q_fu - fp) / np.abs(fp)
     assert np.median(rel) < 0.02 and rel.max() < 0.2
+
+
+def test_fused_upconv_fake_quant_mirrors_int8_stage():
+    """QAT on a fused decoder stage trains against the SERVING grid: the
+    fake-quant mirror (_fake_quant_fused_upconv) and the int8 serving
+    path (_int8_fused_upconv) agree to fp accumulation error when the
+    int8 calibration equals the fake-quant dynamic absmax — same
+    composed-kernel per-channel grid, same separate h/skip scales, same
+    fp border corrections on the dequantized input."""
+    from supervised_dispnet_tpu.models.dispresnet import _FusedUpConvParams
+    from supervised_dispnet_tpu.ops.quant import (
+        _fake_quant_fused_upconv, _int8_fused_upconv,
+    )
+
+    ch, cs, cout = 5, 7, 8
+    rng = np.random.default_rng(11)
+    h = jnp.asarray(rng.normal(0, 1, (2, 8, 12, ch)).astype(np.float32))
+    skip = jnp.asarray(rng.normal(0, 2, (2, 16, 24, cs)).astype(np.float32))
+    m = _FusedUpConvParams(features=cout, in_features=ch + cs)
+    v = m.init(jax.random.PRNGKey(0), h, skip)
+    bound = m.bind(v)
+
+    fq = np.asarray(_fake_quant_fused_upconv(bound, h, skip))
+    ranges = {"": float(np.max(np.abs(h))),
+              "::skip": float(np.max(np.abs(skip)))}
+    q8 = np.asarray(_int8_fused_upconv(bound, h, skip, ranges))
+    np.testing.assert_allclose(fq, q8, rtol=1e-4, atol=1e-4)

@@ -113,6 +113,54 @@ def test_supervised_step_remat_qat_bf16_compose():
     assert losses[-1] < losses[0]
 
 
+def test_supervised_step_fused_upsample_matches_unfused():
+    """--fused-upsample TRAINING: one supervised step on the fused decoder
+    produces the same loss and the same updated params as the unfused
+    decoder from the same state — the fused path is an exact
+    reparametrization of the same weights (ops/fused_upconv.py), so the
+    flag is a pure throughput dial on existing training configs."""
+    m0 = DispResNet(encoder_depth=18)
+    m1 = DispResNet(encoder_depth=18, fused_upsample=True)
+    state = create_train_state(
+        m0, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(B=4).items()}
+    step0 = make_supervised_train_step(m0, "berhu", aug=NO_AUG, donate=False)
+    step1 = make_supervised_train_step(m1, "berhu", aug=NO_AUG, donate=False)
+    s0, met0 = step0(state, batch)
+    s1, met1 = step1(state, batch)
+    np.testing.assert_allclose(float(met0["loss"]), float(met1["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        # atol: Adam's rsqrt amplifies fp-rounding grad diffs where the
+        # second moment is ~0, so isolated elements can disagree by up to
+        # the step bound (lr=1e-3); the loss assertion above is the
+        # functional parity check, grads are covered by
+        # test_models.py::test_dispresnet_fused_upsample_grad_parity
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_supervised_step_fused_upsample_fake_quant():
+    """--qat --fused-upsample: the fake-quant interceptor covers the fused
+    decoder stages (serving-arithmetic QDQ mirror, ops/quant.py::
+    _fake_quant_fused_upconv) and the step still trains."""
+    model = DispResNet(encoder_depth=18, fused_upsample=True)
+    state = create_train_state(
+        model, (jnp.zeros((1, H, W, 3)),), optax.adam(1e-3), seed=0
+    )
+    step = make_supervised_train_step(model, "berhu", aug=NO_AUG,
+                                      donate=False, fake_quant=True)
+    batch = {k: jnp.asarray(v) for k, v in _sup_batch(B=4).items()}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_supervised_classification_step():
     bins = DepthBins(num_bins=16)
     model = DispResNet(encoder_depth=18, head="classification", num_bins=16)
