@@ -33,6 +33,9 @@ XLA's cost analysis divided by measured time and the chip's bf16 peak.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 # Measured anchor (benchmarks/torch_anchor.py, 2026-08-16): the reference
@@ -64,14 +67,53 @@ ITERS = 25
 # quant_bench's 8498 — different windows, same program.
 WINDOWS = 3
 
+# Relay latency can also degrade by minutes-per-compile (observed
+# 2026-08-19: a 2-op matmul probe took 3m10s wall, ~2s CPU — pure RPC
+# wait). The bench must still emit its one JSON line inside the driver's
+# window, so: (a) a soft wall budget gates optional work (extra timing
+# windows, the int8 path), and (b) SIGTERM/SIGINT print the best
+# result-so-far before exiting instead of dying silently.
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "480"))
+T0 = time.monotonic()
+
+_partial: dict = {}
+_printed = False
+
+
+def _emit(result: dict) -> None:
+    global _printed
+    if not _printed:
+        _printed = True
+        print(json.dumps(result), flush=True)
+
+
+def _on_term(signum, frame):
+    if _partial.get("value"):
+        _partial.setdefault(
+            "note", f"partial: signal {signum} at +{time.monotonic() - T0:.0f}s "
+                    "(relay degraded); windows completed so far")
+        _emit(_partial)
+    sys.exit(1)
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
 
 def best_window(f, *args, iters=ITERS, windows=WINDOWS):
-    """Best throughput (img/s) over `windows` serial-chain timing windows;
+    """Best throughput (img/s) over up to `windows` serial-chain timing
+    windows (always at least one; later windows are skipped when the wall
+    budget can't fit another at the observed rate);
     returns (best_images_per_sec, best_dt, all_window_rates)."""
     import jax.numpy as jnp
 
     rates, best_dt = [], float("inf")
-    for _ in range(windows):
+    for w in range(windows):
+        if w and _remaining() < 1.5 * best_dt:
+            print(f"WARNING: bench budget: stopping after {w} timing "
+                  f"window(s) (+{time.monotonic() - T0:.0f}s elapsed)",
+                  file=sys.stderr)
+            break
         s = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -85,6 +127,9 @@ def best_window(f, *args, iters=ITERS, windows=WINDOWS):
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     import jax
 
     from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
@@ -99,19 +144,14 @@ def main() -> None:
                        fused_upsample=True)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, H, W, 3), jnp.float32)
-    variables = model.init(rng, x)
+    # jitted init: ONE program through the relay instead of one RPC
+    # round trip per op (eager init measured minutes under relay degradation)
+    variables = jax.jit(model.init)(rng, x)
 
     @jax.jit
     def forward(variables, x, s):
         # s (previous iteration's scalar) feeds the input: serial chain
         return jnp.sum(model.apply(variables, x + s * 1e-30, train=False)[0])
-
-    # analytic FLOPs of one forward from XLA's cost model (per BATCH images)
-    try:
-        cost = jax.jit(forward).lower(variables, x, jnp.float32(0.0)).compile()
-        flops_per_call = float(cost.cost_analysis()["flops"])
-    except Exception:
-        flops_per_call = float("nan")
 
     s = jnp.float32(0.0)
     for _ in range(WARMUP):
@@ -122,10 +162,45 @@ def main() -> None:
     images_per_sec, dt, bf16_windows = best_window(forward, variables, x)
     images_per_sec /= n_chips
 
+    # analytic FLOPs of one forward from XLA's cost model (per BATCH
+    # images). lower().compile() re-lowers the already-warm program —
+    # usually instant via the persistent compile cache, but a full
+    # recompile through a degraded relay is minutes, so it is gated on
+    # the wall budget (mfu is reporting, not the metric).
+    flops_per_call = float("nan")
+    if _remaining() > 1.5 * dt:
+        try:
+            cost = forward.lower(variables, x, jnp.float32(0.0)).compile()
+            flops_per_call = float(cost.cost_analysis()["flops"])
+        except Exception:
+            pass
+    else:
+        print("WARNING: bench budget: skipping cost-analysis recompile",
+              file=sys.stderr)
+
+    _partial.update({
+        "metric": "kitti_inference_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_TORCH_CPU_IMAGES_PER_SEC, 1),
+        "timing_windows": bf16_windows,
+    })
+
     # int8 PTQ serving path (ops/quant.py): same protocol; quality cost
     # quantified in BASELINE.md (median disparity rel err 0.4%)
     int8_images_per_sec = None
+    # calibration + the int8 compile cost about as much as the bf16 path
+    # did end to end; skip (keeping the bf16 headline) when the budget
+    # can't fit that plus one timing window
+    int8_skip = _remaining() < min(240.0, time.monotonic() - T0) + 1.5 * dt
+    if int8_skip:
+        print(f"WARNING: bench budget: skipping int8 path "
+              f"(+{time.monotonic() - T0:.0f}s elapsed of {BUDGET_S:.0f}s)",
+              file=sys.stderr)
     try:
+        if int8_skip:
+            raise TimeoutError(
+                "int8 path skipped: wall budget exhausted (relay slow)")
         from supervised_dispnet_tpu.ops.quant import (
             calibrate_conv_ranges, quantized_apply,
         )
@@ -147,11 +222,11 @@ def main() -> None:
     except Exception as e:  # int8 path is additive; never sink the
         # headline metric — but a silent regression would just drop the
         # field from BENCH with no trace, so say what broke on stderr
-        import sys
-        import traceback
-
         print(f"WARNING: int8 bench path failed: {e!r}", file=sys.stderr)
-        traceback.print_exc(file=sys.stderr)
+        if not int8_skip:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
 
     result = {
         "metric": "kitti_inference_images_per_sec_per_chip",
@@ -170,6 +245,10 @@ def main() -> None:
         result["int8_quality"] = ("disp rel err median 0.41% / p95 5.0% vs "
                                   "fp32 (benchmarks/quant_bench.py, round-3 "
                                   "int8-through encoder chain)")
+    elif int8_skip:
+        result["int8_note"] = ("skipped: wall budget exhausted (relay slow); "
+                               "round-4 measured 9443.4 img/s "
+                               "(benchmarks/fused_decoder_bench.py)")
     if flops_per_call == flops_per_call:  # not NaN
         tflops_per_sec = flops_per_call * ITERS / dt / n_chips / 1e12
         result["model_tflops_per_sec"] = round(tflops_per_sec, 1)
@@ -179,7 +258,7 @@ def main() -> None:
         if peak:
             result["mfu"] = round(tflops_per_sec * 1e12 / peak, 4)
             result["device_kind"] = kind
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

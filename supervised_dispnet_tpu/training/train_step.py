@@ -103,7 +103,10 @@ def create_train_state(
     with ``ema_decay > 0``)."""
     rng = jax.random.PRNGKey(seed)
     init_rng, state_rng = jax.random.split(rng)
-    variables = model.init(init_rng, *example_input)
+    # jit the init: eager flax init dispatches op-by-op (measured 36 s for
+    # DispNetS on 1 vCPU vs 1.5 s as one cached program; on TPU it saves
+    # one RPC round trip per op through the relay)
+    variables = jax.jit(model.init)(init_rng, *example_input)
     params = {"disp": variables["params"]}
     batch_stats = {"disp": variables.get("batch_stats", {})}
     if extra_models:
@@ -112,7 +115,8 @@ def create_train_state(
         for name, (m, args) in extra_models.items():
             # crc32, not hash(): str hashing is salted per process and would
             # make seeded runs irreproducible
-            v = m.init(jax.random.fold_in(init_rng, zlib.crc32(name.encode())), *args)
+            v = jax.jit(m.init)(
+                jax.random.fold_in(init_rng, zlib.crc32(name.encode())), *args)
             params[name] = v["params"]
             batch_stats[name] = v.get("batch_stats", {})
     opt_state = tx.init(params)

@@ -35,13 +35,16 @@ def test_dispnet_forward_parity():
         t_disps = tmodel(torch.from_numpy(x))
 
     model = DispNetS()
-    # validate converted tree structure against a fresh init
-    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
+    # validate converted tree structure against a fresh init (eval_shape:
+    # structure only, no 36 s eager init)
+    ref = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))["params"]
     ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
     got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
     assert ref_shapes == got_shapes
 
-    j_disps = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    j_disps = jax.jit(model.apply)(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     for td, jd in zip(t_disps, j_disps):
         np.testing.assert_allclose(
             np.asarray(jd)[..., 0], td.numpy()[:, 0], rtol=1e-3, atol=2e-4

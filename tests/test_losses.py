@@ -153,9 +153,11 @@ def test_photometric_zero_for_identity():
     K = np.array([[[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]]], dtype=np.float32)
     depths = [jnp.full((B, H // 2**s, W // 2**s), 5.0) for s in range(3)]
     pose = np.zeros((B, 1, 6), dtype=np.float32)
-    loss, warped = photometric_reconstruction_loss(
-        jnp.asarray(img), [jnp.asarray(img)], jnp.asarray(K),
-        depths, None, jnp.asarray(pose))
+    loss, warped = jax.jit(
+        lambda tgt, refs, K, d, pose: photometric_reconstruction_loss(
+            tgt, refs, K, d, None, pose)
+    )(jnp.asarray(img), [jnp.asarray(img)], jnp.asarray(K),
+      depths, jnp.asarray(pose))
     assert float(loss) < 1e-4
     assert warped[0].shape == (B, H, W, 3)
 

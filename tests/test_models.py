@@ -23,8 +23,8 @@ def _img(B=1, h=H, w=W, c=3, seed=0):
 def test_dispnet_shapes():
     x = _img()
     model = DispNetS()
-    params = model.init(jax.random.PRNGKey(0), x)
-    disps = model.apply(params, x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    disps = jax.jit(model.apply)(params, x)
     assert len(disps) == 4
     for s, d in enumerate(disps):
         assert d.shape == (1, H // 2**s, W // 2**s, 1)
@@ -226,16 +226,17 @@ def test_dispresnet_fused_upsample_parity():
     x = _img(B=2, h=32, w=64, seed=13)
     m0 = DispResNet(encoder_depth=18)
     m1 = DispResNet(encoder_depth=18, fused_upsample=True)
-    v0 = m0.init(jax.random.PRNGKey(3), x)
-    v1 = m1.init(jax.random.PRNGKey(3), x)
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(3), x)
+    # structure/shape check only — eval_shape skips the eager init cost
+    v1 = jax.eval_shape(m1.init, jax.random.PRNGKey(3), x)
     assert (jax.tree_util.tree_structure(v0)
             == jax.tree_util.tree_structure(v1))
     for a, b in zip(jax.tree_util.tree_leaves(v0),
                     jax.tree_util.tree_leaves(v1)):
         assert a.shape == b.shape
 
-    d0 = m0.apply(v0, x, train=False)
-    d1 = m1.apply(v0, x, train=False)
+    d0 = jax.jit(lambda v, x: m0.apply(v, x, train=False))(v0, x)
+    d1 = jax.jit(lambda v, x: m1.apply(v, x, train=False))(v0, x)
     for a, b in zip(d0, d1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
