@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute the photometric loss one octave down "
                         "(~4x cheaper warp gathers; deviates from the "
                         "reference loss)")
+    p.add_argument("--stochastic-photo", type=int, default=1, metavar="N",
+                   help="evaluate the photometric loss at every N-th "
+                        "pixel per axis at a random per-step phase "
+                        "(unbiased 1/N^2 subsample; ~N^2x cheaper warp "
+                        "gathers; deviates from the reference loss)")
     p.add_argument("--use-pallas-warp", action="store_true",
                    help="use the Pallas MXU-gather sampler in the "
                         "photometric loss (self-supervised)")
@@ -207,6 +212,7 @@ def main(argv: list[str] | None = None) -> None:
         img_width=args.img_width,
         use_pallas_warp=args.use_pallas_warp,
         half_res_photo=args.half_res_photo,
+        stochastic_photo=args.stochastic_photo,
         remat=args.remat,
         use_pallas_losses=args.use_pallas_losses,
         qat=args.qat,

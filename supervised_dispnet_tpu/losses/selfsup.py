@@ -27,6 +27,39 @@ def _scale_intrinsics(intrinsics: jax.Array, factor: float) -> jax.Array:
     return intrinsics * scale
 
 
+def _phase_subsample(x: jax.Array, s: int, oy: jax.Array, ox: jax.Array):
+    """Keep every s-th pixel starting at traced phase (oy, ox).
+
+    x: (B, H, W[, C]) with H, W divisible by s -> (B, H/s, W/s[, C]).
+    Reshape + tiny dynamic takes keep shapes static under jit.
+    """
+    B, H, W = x.shape[:3]
+    rest = x.shape[3:]
+    if H % s or W % s:
+        raise ValueError(
+            f"stochastic_stride {s} must divide every scale's spatial dims; "
+            f"got ({H}, {W})")
+    v = x.reshape(B, H // s, s, W // s, s, *rest)
+    v = jnp.take(v, oy, axis=2)
+    return jnp.take(v, ox, axis=3)
+
+
+def _subsample_intrinsics(K: jax.Array, s: int, oy, ox) -> jax.Array:
+    """K' = A^-1 K for the affine grid map x_full = s * x_sub + ox: the
+    back-projection of sub-grid index (i, j) through K' equals the
+    back-projection of its true full-res pixel (s*i + oy, s*j + ox)
+    through K."""
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    skew = K[:, 0, 1]
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    row0 = jnp.stack([fx / s, skew / s, (cx - ox) / s], axis=-1)
+    row1 = jnp.stack([zeros, fy / s, (cy - oy) / s], axis=-1)
+    row2 = jnp.stack([zeros, zeros, ones], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=1)
+
+
 def photometric_reconstruction_loss(
     tgt_img: jax.Array,
     ref_imgs: list[jax.Array],
@@ -40,6 +73,9 @@ def photometric_reconstruction_loss(
     half_res: bool = False,
     remat: bool = False,
     batch_refs: bool = False,
+    stochastic_stride: int = 1,
+    rng: jax.Array | None = None,
+    stochastic_phases: tuple | None = None,
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Multi-scale photometric L1 between target and inverse-warped refs.
 
@@ -72,12 +108,37 @@ def photometric_reconstruction_loss(
         count; BASELINE.md round-4 A/B, benchmarks/selfsup_warp_ab.py).
         Default False (the reference's per-ref loop); kept as the
         measured negative.
+      stochastic_stride: > 1 enables the STOCHASTIC photometric term
+        (documented DEVIATION, like half_res): each scale's photometric
+        L1 is evaluated only at every stride-th target pixel per axis,
+        at a per-step uniformly-random phase — an unbiased estimator of
+        the full-pixel mean (averaging the estimate over all stride^2
+        phases reproduces it exactly; tests/test_losses.py). TPU warp
+        gathers are index-count-bound (~6.9 ns/index), so stride 2 cuts
+        warp cost ~4x. The subsampled grid back-projects through
+        phase-adjusted intrinsics (exact affine remap, no resampling of
+        depth or target). Requires an ``rng`` (or explicit
+        ``stochastic_phases`` for tests) and the per-ref arm
+        (``batch_refs=False``).
+      rng: PRNG key consumed when ``stochastic_stride > 1`` (per-scale
+        phase draws).
+      stochastic_phases: testing override — per-scale ((oy, ox), ...)
+        integer phases instead of random draws.
 
     Returns:
       (loss, warped_results): scalar loss and the finest-scale warped images
       (for logging, reference: tensorboard warp images in ``train.py``).
     (reference: ``loss_functions.py::photometric_reconstruction_loss``)
     """
+    if stochastic_stride > 1:
+        if batch_refs:
+            raise ValueError(
+                "stochastic_stride > 1 is only supported with the per-ref "
+                "arm (batch_refs=False, the measured-faster default)")
+        if rng is None and stochastic_phases is None:
+            raise ValueError("stochastic_stride > 1 needs an rng (or "
+                             "explicit stochastic_phases)")
+
     total = jnp.float32(0.0)
     warped_log: list[jax.Array] = []
     tgt_s = tgt_img
@@ -106,16 +167,35 @@ def photometric_reconstruction_loss(
         if not batch_refs:
             # per-reference-frame warps (the reference's loop shape) —
             # the measured-faster default (see batch_refs docstring)
+            tgt_term, depth_term, K_term = tgt_s, depth, K_s
+            Kt_term = None
+            if stochastic_stride > 1:
+                st = stochastic_stride
+                if stochastic_phases is not None:
+                    oy, ox = stochastic_phases[s]
+                    oy = jnp.asarray(oy, jnp.int32)
+                    ox = jnp.asarray(ox, jnp.int32)
+                else:
+                    oy, ox = jax.random.randint(
+                        jax.random.fold_in(rng, s), (2,), 0, st)
+                tgt_term = _phase_subsample(tgt_s, st, oy, ox)
+                depth_term = _phase_subsample(depth, st, oy, ox)
+                Kt_term = _subsample_intrinsics(
+                    K_s, st, oy.astype(K_s.dtype), ox.astype(K_s.dtype))
             for r, ref in enumerate(refs_s):
                 mask_sr = (explainability_masks[s][..., r : r + 1]
                            if explainability_masks is not None else None)
+                if mask_sr is not None and stochastic_stride > 1:
+                    mask_sr = _phase_subsample(
+                        mask_sr, stochastic_stride, oy, ox)
 
-                def _term_r(ref, depth, pose_r, K_s, tgt_s, mask_sr):
+                def _term_r(ref, depth, pose_r, K_s, tgt_s, mask_sr, Kt):
                     warped, valid = inverse_warp(
                         ref, depth, pose_r, K_s,
                         rotation_mode=rotation_mode,
                         padding_mode=padding_mode,
                         use_pallas=use_pallas_warp, diff_img=False,
+                        tgt_intrinsics=Kt,
                     )
                     diff = ((tgt_s - warped)
                             * valid[..., None].astype(tgt_s.dtype))
@@ -126,10 +206,12 @@ def photometric_reconstruction_loss(
                 if remat:
                     total = total + jax.checkpoint(
                         lambda *a: _term_r(*a)[0]
-                    )(ref, depth, pose[:, r], K_s, tgt_s, mask_sr)
+                    )(ref, depth_term, pose[:, r], K_term, tgt_term,
+                      mask_sr, Kt_term)
                 else:
-                    term, warped = _term_r(ref, depth, pose[:, r], K_s,
-                                           tgt_s, mask_sr)
+                    term, warped = _term_r(ref, depth_term, pose[:, r],
+                                           K_term, tgt_term, mask_sr,
+                                           Kt_term)
                     total = total + term
                     if s == 0:
                         warped_log.append(warped)

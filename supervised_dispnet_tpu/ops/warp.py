@@ -123,17 +123,24 @@ def cam2pixel(
     cam_coords: jax.Array,
     proj_rot: jax.Array,
     proj_tr: jax.Array,
+    bounds: tuple[int, int] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Project camera-frame points into another camera's pixel plane.
 
     cam_coords: (B, H, W, 3); proj_rot: (B, 3, 3) = K @ R;
     proj_tr: (B, 3, 1) = K @ t.
+    bounds: optional (H_src, W_src) extent of the SOURCE image plane for
+      the validity test — defaults to cam_coords' spatial shape (identical
+      when target and source are same-resolution; they differ under the
+      stochastic-photometric subsampled target grid).
     Returns (x, y, valid): float pixel coords (B, H, W) and an in-view &
     in-front mask (B, H, W) bool.
     (reference: ``inverse_warp.py::cam2pixel`` — which additionally
     normalizes to [-1, 1]; we stay in pixel space, see module docstring.)
     """
     B, H, W, _ = cam_coords.shape
+    if bounds is not None:
+        H, W = bounds
     p = (
         jnp.einsum("bij,bhwj->bhwi", proj_rot, cam_coords, precision=_HIGHEST)
         + proj_tr[:, None, None, :, 0]
@@ -160,14 +167,20 @@ def inverse_warp(
     padding_mode: str = "zeros",
     use_pallas: bool = False,
     diff_img: bool = True,
+    tgt_intrinsics: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Inverse-warp a source image to the target frame.
 
     Args:
       img: (B, H, W, C) source (reference frame) image.
-      depth: (B, H, W) target-frame depth.
+      depth: (B, Ht, Wt) target-frame depth. Usually (Ht, Wt) == (H, W);
+        the stochastic-photometric path passes a phase-subsampled target
+        grid (smaller) with ``tgt_intrinsics`` mapping grid indices to the
+        true full-resolution pixel coordinates.
       pose: (B, 6) target->source 6-DoF pose vector.
-      intrinsics: (B, 3, 3).
+      intrinsics: (B, 3, 3) of the SOURCE image plane (projection side).
+      tgt_intrinsics: optional (B, 3, 3) for the TARGET back-projection
+        (pixel2cam); defaults to ``intrinsics``.
       rotation_mode: 'euler' | 'quat'.
       padding_mode: 'zeros' | 'border' for out-of-view samples.
       use_pallas: sample with the Pallas MXU-gather kernel
@@ -182,12 +195,14 @@ def inverse_warp(
       target pixels, and valid (B, H, W) bool in-view mask.
     (reference: ``inverse_warp.py::inverse_warp``)
     """
-    intrinsics_inv = jnp.linalg.inv(intrinsics)
-    cam_coords = pixel2cam(depth, intrinsics_inv)  # (B, H, W, 3)
+    intrinsics_inv = jnp.linalg.inv(
+        intrinsics if tgt_intrinsics is None else tgt_intrinsics)
+    cam_coords = pixel2cam(depth, intrinsics_inv)  # (B, Ht, Wt, 3)
     pose_mat = pose_vec2mat(pose, rotation_mode)  # (B, 3, 4)
     # K @ [R|t]: rot part (B,3,3), translation part (B,3,1)
     proj = jnp.matmul(intrinsics, pose_mat, precision=_HIGHEST)
-    x, y, valid = cam2pixel(cam_coords, proj[:, :, :3], proj[:, :, 3:])
+    x, y, valid = cam2pixel(cam_coords, proj[:, :, :3], proj[:, :, 3:],
+                            bounds=img.shape[1:3])
     if not diff_img:
         img = jax.lax.stop_gradient(img)
     if use_pallas:

@@ -354,6 +354,7 @@ def make_selfsup_train_step(
     fake_quant: bool = False,
     remat_photo: bool = False,
     batch_refs: bool = False,
+    stochastic_photo: int = 1,
 ):
     """Self-supervised step (reference: BASELINE config 5; ``train.py``
     photometric path with -p/-m/-s weights). ``half_res_photo`` computes
@@ -362,6 +363,9 @@ def make_selfsup_train_step(
     net the --int8 serving path quantizes; the pose net serves fp).
     ``remat_photo`` checkpoints each (scale, ref) photometric term so the
     warp intermediates are recomputed in the backward pass (--remat).
+    ``stochastic_photo`` > 1 evaluates the photometric term on a
+    random-phase 1/N^2 pixel subset per step (unbiased; documented
+    deviation like half_res — see losses/selfsup.py).
 
     batch: {'tgt': (B, H, W, 3), 'ref_imgs': (B, R, H, W, 3),
             'intrinsics': (B, 3, 3)}.
@@ -369,7 +373,7 @@ def make_selfsup_train_step(
     with_exp = mask_weight > 0
 
     def step(state: TrainState, batch):
-        rng, key = jax.random.split(state.rng)
+        rng, key, photo_key = jax.random.split(state.rng, 3)
         snippet = jnp.concatenate(
             [_imgs_to_float(batch["tgt"])[:, None],
              _imgs_to_float(batch["ref_imgs"])], axis=1)
@@ -408,6 +412,7 @@ def make_selfsup_train_step(
                 rotation_mode=rotation_mode, padding_mode=padding_mode,
                 use_pallas_warp=use_pallas_warp, half_res=half_res_photo,
                 remat=remat_photo, batch_refs=batch_refs,
+                stochastic_stride=stochastic_photo, rng=photo_key,
             )
             exp_l = explainability_loss(exp_masks) if with_exp else jnp.float32(0.0)
             smooth = smooth_loss(disps)

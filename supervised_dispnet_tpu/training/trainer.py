@@ -70,6 +70,9 @@ class TrainerConfig:
     use_pallas_warp: bool = False  # MXU-gather Pallas sampler in photometric
     half_res_photo: bool = False  # photometric loss one octave down (~4x
     #   cheaper warp gathers; deviation from the reference loss)
+    stochastic_photo: int = 1  # --stochastic-photo N: photometric term on
+    #   a random-phase 1/N^2 pixel subset per step (unbiased estimator;
+    #   deviation from the reference loss, losses/selfsup.py)
     remat: bool = False  # --remat: the model is built with activation
     #   checkpointing by the CLI; this mirrors the flag so the self-sup
     #   step also checkpoints each (scale, ref) photometric term
@@ -310,6 +313,7 @@ class Trainer:
                 aug=self.aug, mesh=self.mesh,
                 use_pallas_warp=cfg.use_pallas_warp,
                 half_res_photo=cfg.half_res_photo,
+                stochastic_photo=cfg.stochastic_photo,
                 ema_decay=cfg.ema_decay,
                 accum_steps=cfg.accum_steps,
                 fake_quant=cfg.qat,

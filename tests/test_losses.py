@@ -258,6 +258,61 @@ def test_photometric_batched_refs_loss_and_grads_equal():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_photometric_stochastic_unbiased_and_runs():
+    """stochastic_stride=2 (the --stochastic-photo lever): each phase's
+    loss must be the full photometric loss restricted to that phase's
+    pixel subset — the phase-adjusted intrinsics make the subsampled warp
+    EXACTLY the full warp at those pixels — so the average over all 4
+    phases equals the full-pixel loss to fp rounding (unbiased
+    estimator). Also: the rng arm jits and differentiates finite."""
+    B, H, W = 2, 16, 32
+    rng = np.random.default_rng(12)
+    tgt = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    refs = [jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+            for _ in range(2)]
+    K = jnp.asarray(np.broadcast_to(
+        np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                 np.float32), (B, 3, 3)).copy())
+    depths0 = [jnp.asarray(rng.uniform(3, 8, (B, H // 2**s, W // 2**s))
+                           .astype(np.float32)) for s in range(3)]
+    masks0 = [jnp.asarray(rng.uniform(0.2, 1, (B, H // 2**s, W // 2**s, 2))
+                          .astype(np.float32)) for s in range(3)]
+    pose0 = jnp.asarray(rng.uniform(-0.05, 0.05, (B, 2, 6))
+                        .astype(np.float32))
+
+    full, _ = photometric_reconstruction_loss(
+        tgt, refs, K, depths0, masks0, pose0)
+    phase_losses = []
+    for oy in range(2):
+        for ox in range(2):
+            l, w = photometric_reconstruction_loss(
+                tgt, refs, K, depths0, masks0, pose0,
+                stochastic_stride=2,
+                stochastic_phases=(((oy, ox),) * 3))
+            phase_losses.append(float(l))
+            assert w[0].shape == (B, H // 2, W // 2, 3)
+    np.testing.assert_allclose(np.mean(phase_losses), float(full),
+                               rtol=1e-5)
+    # the estimator varies across phases (it is a subsample, not a copy)
+    assert np.std(phase_losses) > 0
+
+    # rng arm: jitted value_and_grad, finite, and phase actually varies
+    @jax.jit
+    def vg(depths, pose, key):
+        def f(depths, pose):
+            l, _ = photometric_reconstruction_loss(
+                tgt, refs, K, depths, masks0, pose,
+                stochastic_stride=2, rng=key)
+            return l
+        return jax.value_and_grad(f, argnums=(0, 1))(depths, pose)
+
+    v1, g1 = vg(depths0, pose0, jax.random.PRNGKey(0))
+    v2, _ = vg(depths0, pose0, jax.random.PRNGKey(3))
+    assert np.isfinite(float(v1)) and np.isfinite(float(v2))
+    for g in jax.tree_util.tree_leaves(g1):
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def test_multiscale_supervised_loss_runs():
     gt, pred, mask = _depth_pair(B=1, H=16, W=32, seed=9)
     preds = [jnp.asarray(pred[:, ::2**s, ::2**s]) for s in range(4)]

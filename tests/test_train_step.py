@@ -458,6 +458,33 @@ def test_selfsup_step_half_res_photo():
     assert losses[-1] < losses[0]
 
 
+def test_selfsup_step_stochastic_photo():
+    """stochastic_photo=2 (random-phase 1/4-pixel photometric subsample):
+    step runs, losses finite and comparable to the full-pixel term (it is
+    an unbiased estimator), and training still descends."""
+    disp = DispNetS()
+    pose = PoseExpNet(nb_ref_imgs=2, output_exp=True)
+    tgt0 = jnp.zeros((1, H, W, 3))
+    state = create_train_state(
+        disp, (tgt0,), optax.adam(1e-4), seed=0,
+        extra_models={"pose": (pose, (tgt0, [tgt0, tgt0]))},
+    )
+    batch = _selfsup_batch(B=4, seed=23)
+    kw = dict(nb_ref_imgs=2, aug=NO_AUG, donate=False)
+    step_full = make_selfsup_train_step(disp, pose, **kw)
+    step_sto = make_selfsup_train_step(disp, pose, stochastic_photo=2, **kw)
+    _, m_full = step_full(state, batch)
+    s, m_sto = step_sto(state, batch)
+    assert np.isfinite(float(m_sto["loss"]))
+    # unbiased subsample of the same term: same order of magnitude
+    assert 0.3 < float(m_sto["photo_loss"]) / float(m_full["photo_loss"]) < 3.0
+    losses = [float(m_sto["loss"])]
+    for _ in range(3):
+        s, m = step_sto(s, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_multiscale_classification_step():
     """Multi-scale bin-logit supervision: 4 logit scales, loss decreases,
     finest-scale eval decode still works."""
