@@ -49,6 +49,49 @@ def compose_upsample_kernel(kernel: jax.Array) -> jax.Array:
     return kc
 
 
+def compose_to_phase_kernels(kc: jax.Array) -> jax.Array:
+    """(6, 6, Cin, Cout) composed kernel -> (3, 3, Cin, 4*Cout) phase
+    kernels for the pixel-shuffle form of the lhs_dilation=(2, 2) conv.
+
+    Derivation: with the fused decoder's exact geometry (edge-padded input
+    ``xp``, lhs_dilation 2, conv padding 1), output row m = 2i + p draws
+    kernel rows of parity 1-p over ``xp[i : i+3]``:
+      phase p=0 rows -> kc[1::2], p=1 rows -> kc[0::2] (same per column).
+    Each of the 4 (py, px) phases is therefore a dense 3x3 VALID conv over
+    ``xp`` — 9 MAC-taps per low-res pixel per phase (36 total) vs the
+    dilated form's 36 taps per HIGH-res pixel (144 per low-res pixel) when
+    the backend does not skip the inserted zeros. Phases stack on the
+    output-channel axis (py-major), ready for one conv + depth-to-space.
+    """
+    rows = [kc[1::2], kc[0::2]]  # output-row parity 0, 1
+    phases = []
+    for py in range(2):
+        for px in range(2):
+            phases.append(rows[py][:, 1 - px::2])  # (3, 3, Cin, Cout)
+    return jnp.concatenate(phases, axis=-1)
+
+
+def lhs_dilated_conv_ps(xp: jax.Array, kc: jax.Array, precision) -> jax.Array:
+    """Pixel-shuffle equivalent of the fused decoder's main conv
+    ``conv(xp, kc, lhs_dilation=(2,2), padding=((1,1),(1,1)))``.
+
+    xp: (B, H+2, W+2, Cin) edge-padded half-res input;
+    kc: (6, 6, Cin, Cout). Returns (B, 2H, 2W, Cout) — bit-identical
+    reordering of the same fp contractions (tests/test_fused_upconv.py).
+    """
+    B, Hp, Wp, Cin = xp.shape
+    H, W = Hp - 2, Wp - 2
+    Cout = kc.shape[-1]
+    pk = compose_to_phase_kernels(kc)
+    y = lax.conv_general_dilated(
+        xp, pk, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=_DN, precision=precision)  # (B, H, W, 4*Cout)
+    # depth-to-space, py-major then px: out[2i+py, 2j+px] = y[i, j, phase]
+    y = y.reshape(B, H, W, 2, 2, Cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # (B, H, 2, W, 2, Cout)
+    return y.reshape(B, 2 * H, 2 * W, Cout)
+
+
 def _strip_up_phantom(v: jax.Array) -> jax.Array:
     """Phantom-extended 1-D 2x upsample of a strip.
 
