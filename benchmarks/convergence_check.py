@@ -94,6 +94,7 @@ def run_selfsup(args) -> None:
     step = make_selfsup_train_step(
         disp_model, pose_model, nb_ref_imgs=cfg.nb_refs,
         aug=AugmentConfig(), donate=False, fake_quant=args.qat,
+        stochastic_photo=args.stochastic_photo,
     )
 
     # pre-render a pool of snippets and upload ONCE (uint8 transport);
@@ -213,6 +214,10 @@ def main() -> None:
                     help="save the trained state as an orbax checkpoint "
                          "(feeds quant_bench --checkpoint for trained-"
                          "weights int8 calibration)")
+    ap.add_argument("--stochastic-photo", type=int, default=1,
+                    help="selfsup: photometric term on a random-phase 1/N^2 "
+                         "pixel subset per step (1 = off) — the convergence-"
+                         "parity arm for the --stochastic-photo train flag")
     ap.add_argument("--bf16-grads", action="store_true",
                     help="cast gradients to bf16 before Adam — the "
                          "convergence-parity gate for the precision probe")

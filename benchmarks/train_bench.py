@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--network", default="disp_res_50")
     ap.add_argument("--loss", default="berhu")
     ap.add_argument("--half-res-photo", action="store_true")
+    ap.add_argument("--stochastic-photo", type=int, default=1,
+                    help="evaluate the photometric loss at every N-th pixel "
+                         "per axis with a random per-step phase (unbiased; "
+                         "cuts warp gather indices N^2-fold; 1 = off)")
     ap.add_argument("--remat", action="store_true",
                     help="activation checkpointing on the disp net (the "
                          "B=64 self-sup HBM-cliff probe: sweep --batch "
@@ -108,6 +112,7 @@ def main() -> None:
         )
         step = make_selfsup_train_step(model, pose, nb_ref_imgs=2, donate=False,
                                        half_res_photo=args.half_res_photo,
+                                       stochastic_photo=args.stochastic_photo,
                                        remat_photo=args.remat)
         batch = {
             "tgt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
