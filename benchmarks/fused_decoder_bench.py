@@ -43,6 +43,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--skip-unfused", action="store_true",
+                    help="measure only the fused decoder (e.g. for the "
+                         "DISPNET_TPU_PS_FORM=0/1 A/B)")
     ap.add_argument("--network", default="disp_res_50",
                     choices=["disp_res_18", "disp_res_50", "disp_vgg_bn"])
     args = ap.parse_args()
@@ -68,6 +71,8 @@ def main() -> None:
     results = {"network": args.network}
     models = {"unfused": build(False), "fused": build(True)}
     variables = models["unfused"].init(rng, x)
+    if args.skip_unfused:
+        del models["unfused"]
 
     outs = {}
     for name, model in models.items():
@@ -87,12 +92,13 @@ def main() -> None:
         )(variables, x)
         print(name, "bf16", results[f"bf16_{name}_img_s"], flush=True)
 
-    import numpy as np
-    d = np.abs(np.asarray(outs["fused"], np.float32)
-               - np.asarray(outs["unfused"], np.float32))
-    rel = d / np.abs(np.asarray(outs["unfused"], np.float32))
-    results["bf16_parity_rel_median"] = float(np.median(rel))
-    results["bf16_parity_rel_max"] = float(rel.max())
+    if "unfused" in outs:
+        import numpy as np
+        d = np.abs(np.asarray(outs["fused"], np.float32)
+                   - np.asarray(outs["unfused"], np.float32))
+        rel = d / np.abs(np.asarray(outs["unfused"], np.float32))
+        results["bf16_parity_rel_median"] = float(np.median(rel))
+        results["bf16_parity_rel_max"] = float(rel.max())
 
     if not args.skip_int8:
         from supervised_dispnet_tpu.ops.quant import (

@@ -26,12 +26,25 @@ learned kernel, so the same function serves training and inference.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# Run the main lhs-dilated conv in its pixel-shuffle form (4 dense 3x3
+# phase convs + depth-to-space, `lhs_dilated_conv_ps`) — a bit-identical
+# reordering that is 16-26% faster per conv on v5e (benchmarks/
+# ps_probe.py: XLA:TPU does not skip the dilation zeros, so the dilated
+# form pays 4x the MAC-taps). End-to-end bf16 serving: 6774 -> 6926
+# img/s (+2.2%). The INT8 serving path (ops/quant.py) deliberately does
+# NOT use this form: there the depth-to-space reorder breaks the
+# conv epilogue fusion and loses 18% (BASELINE.md round 5).
+# Env escape hatch for A/B: DISPNET_TPU_PS_FORM=0.
+PS_FORM = os.environ.get("DISPNET_TPU_PS_FORM", "1") != "0"
 # half-pixel 2x bilinear as a transposed conv, per axis
 _TENT = np.array([0.25, 0.75, 0.75, 0.25], np.float32)
 
@@ -142,9 +155,12 @@ def upconv2x_fused(
     kc = (compose_upsample_kernel(kernel)
           if composed_kernel is None else composed_kernel)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = lax.conv_general_dilated(
-        xp, kc, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
-        dimension_numbers=_DN, precision=precision)
+    if PS_FORM:
+        y = lhs_dilated_conv_ps(xp, kc, precision)
+    else:
+        y = lax.conv_general_dilated(
+            xp, kc, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+            dimension_numbers=_DN, precision=precision)
 
     # ---- border corrections: subtract the phantom-row/col contributions
     # the 3x3 conv's zero padding would have zeroed ----

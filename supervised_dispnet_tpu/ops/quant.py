@@ -267,6 +267,15 @@ def _int8_fused_upconv(module, h, skip, ranges, baked=None):
         jnp.clip(h.astype(jnp.float32) / in_scale, -127.0, 127.0)
     ).astype(jnp.int8)
     hqp = jnp.pad(hq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # The int8 path keeps the lhs-dilated form DELIBERATELY: the
+    # pixel-shuffle form's per-conv win (benchmarks/ps_probe.py, -25%)
+    # is erased in-model because the depth-to-space reorder is an extra
+    # full-resolution memory pass that breaks the conv->dequant->bias->
+    # skip-add->ELU epilogue fusion the dilated conv enjoys — measured
+    # 9431 -> 7771 img/s (and 7789 with the dequant moved into the phase
+    # layout), BASELINE.md round 5. The fp path (upconv2x_fused) DOES use
+    # the pixel-shuffle form: its decoder stages are compute-bound enough
+    # that the 4x tap reduction nets +2.2% even paying the reorder.
     dn = lax.conv_dimension_numbers(hqp.shape, wcq.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     y = lax.conv_general_dilated(
