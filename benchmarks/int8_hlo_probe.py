@@ -67,6 +67,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--out", default="/tmp/int8_hlo.txt")
     ap.add_argument("--bf16-out", default="/tmp/bf16_hlo.txt")
+    ap.add_argument("--fused-upsample", action="store_true",
+                    help="probe the fused-decoder graph (the serving "
+                         "default since round 4)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +81,9 @@ def main() -> None:
         calibrate_conv_ranges, quantized_apply,
     )
 
-    model = get_disp_net("disp_res_50").clone(dtype=jnp.bfloat16)
+    model = get_disp_net(
+        "disp_res_50",
+        fused_upsample=args.fused_upsample).clone(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (args.batch, 128, 416, 3), jnp.float32)
     variables = model.init(rng, x)
