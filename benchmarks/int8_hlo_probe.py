@@ -80,13 +80,18 @@ def main() -> None:
     from supervised_dispnet_tpu.ops.quant import (
         calibrate_conv_ranges, quantized_apply,
     )
+    from supervised_dispnet_tpu.utils.profiling import enable_compile_cache
 
+    enable_compile_cache()
     model = get_disp_net(
         "disp_res_50",
         fused_upsample=args.fused_upsample).clone(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (args.batch, 128, 416, 3), jnp.float32)
-    variables = model.init(rng, x)
+    # jitted init: ONE relay program instead of an RPC per op (eager init
+    # measured minutes through a degraded relay)
+    variables = jax.jit(model.init)(rng, x)
+    jax.block_until_ready(variables)
     calib = calibrate_conv_ranges(model, variables, [x[:8]])
 
     def fwd_int8(variables, x):
