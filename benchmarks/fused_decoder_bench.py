@@ -47,7 +47,8 @@ def main() -> None:
                     help="measure only the fused decoder (e.g. for the "
                          "DISPNET_TPU_PS_FORM=0/1 A/B)")
     ap.add_argument("--network", default="disp_res_50",
-                    choices=["disp_res_18", "disp_res_50", "disp_vgg_bn"])
+                    choices=["disp_res_18", "disp_res_50", "disp_vgg_bn",
+                             "dispnet"])
     args = ap.parse_args()
 
     import jax
@@ -62,6 +63,9 @@ def main() -> None:
     x = jax.random.uniform(rng, (B, H, W, 3), jnp.float32)
 
     def build(fused: bool):
+        if args.network == "dispnet":
+            from supervised_dispnet_tpu.models import DispNetS
+            return DispNetS(dtype=jnp.bfloat16, fused_upsample=fused)
         if args.network == "disp_vgg_bn":
             return DispVggBN(dtype=jnp.bfloat16, fused_upsample=fused)
         depth = 18 if args.network == "disp_res_18" else 50
@@ -70,6 +74,7 @@ def main() -> None:
 
     results = {"network": args.network}
     models = {"unfused": build(False), "fused": build(True)}
+    train_kw = {} if args.network == "dispnet" else {"train": False}
     variables = models["unfused"].init(rng, x)
     if args.skip_unfused:
         del models["unfused"]
@@ -78,7 +83,7 @@ def main() -> None:
     for name, model in models.items():
         @jax.jit
         def fwd(v, x, s, model=model):
-            return jnp.sum(model.apply(v, x + s * 1e-30, train=False)[0])
+            return jnp.sum(model.apply(v, x + s * 1e-30, **train_kw)[0])
 
         s = jnp.float32(0.0)
         for _ in range(WARMUP):
@@ -88,7 +93,7 @@ def main() -> None:
         results[f"bf16_{name}_img_s"] = round(B * ITERS / dt, 1)
         results[f"bf16_{name}_windows"] = rates
         outs[name] = jax.jit(
-            lambda v, x, model=model: model.apply(v, x, train=False)[0]
+            lambda v, x, model=model: model.apply(v, x, **train_kw)[0]
         )(variables, x)
         print(name, "bf16", results[f"bf16_{name}_img_s"], flush=True)
 

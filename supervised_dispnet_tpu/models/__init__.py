@@ -42,6 +42,12 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
         kw["remat"] = True
     if fused_upsample:
         if not (key.startswith("disp_res") or key == "disp_vgg_bn"):
+            # dispnet's analog (pixel-shuffle ConvTranspose,
+            # ops/fused_deconv.py) measured NEGATIVE end-to-end on TPU
+            # (-19%, BASELINE.md round 5) — XLA's ConvTranspose lowering
+            # already skips the dilation zeros, so the reorder only adds
+            # a full-res memory pass. Available on DispNetS(...) directly
+            # for study; not exposed here.
             raise ValueError(
                 "--fused-upsample is only supported on disp_res* / "
                 f"disp_vgg_bn (resize->conv decoders), got {name!r}")

@@ -81,6 +81,34 @@ class DownsampleConv(nn.Module):
         return x
 
 
+class _PSConvTranspose(nn.Module):
+    """Parameter-compatible stand-in for the ``nn.ConvTranspose`` inside
+    ``UpConvELU`` (parent names it ``ConvTranspose_0``): declares the SAME
+    ``kernel``/``bias``, but computes the transposed conv in its
+    pixel-shuffle form (``ops.fused_deconv.deconv2x_ps``) — one dense 2x2
+    conv to 4*Cout + depth-to-space, 2.25x fewer MAC-taps than the
+    lhs-dilated form. MEASURED NEGATIVE on TPU (BASELINE.md round 5):
+    kernel-level neutral (XLA:TPU's ConvTranspose lowering already skips
+    the dilation zeros, unlike the 6x6 fused-upconv case), end-to-end
+    -19% (the depth-to-space reorder is an extra full-res memory pass
+    that evicts bias+ELU from the conv epilogue). Kept for study; the
+    registry does not expose it."""
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from supervised_dispnet_tpu.ops.fused_deconv import deconv2x_ps
+
+        kernel = self.param("kernel", xavier_uniform,
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        cdt = self.dtype or jnp.result_type(x.dtype, kernel.dtype)
+        y = deconv2x_ps(x.astype(cdt), kernel.astype(cdt))
+        return y + bias.astype(cdt)
+
+
 class UpConvELU(nn.Module):
     """2x transposed-conv upsample + ELU.
 
@@ -89,20 +117,27 @@ class UpConvELU(nn.Module):
 
     features: int
     dtype: object = None
+    fused: bool = False  # pixel-shuffle form of the same transposed conv
+    #   (exact to fp summation order, identical param tree) — DispNetS's
+    #   analog of the DispResNet fused decoder
 
     @nn.compact
     def __call__(self, x):
         # padding ((1, 2), (1, 2)) reproduces torch ConvTranspose2d(k=3, s=2,
         # p=1, output_padding=1) pixel alignment exactly (converter flips the
         # kernel spatially); output is exactly 2x input
-        x = nn.ConvTranspose(
-            self.features,
-            (3, 3),
-            strides=(2, 2),
-            padding=((1, 2), (1, 2)),
-            kernel_init=xavier_uniform,
-            dtype=self.dtype,
-        )(x)
+        if self.fused:
+            x = _PSConvTranspose(self.features, dtype=self.dtype,
+                                 name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                (3, 3),
+                strides=(2, 2),
+                padding=((1, 2), (1, 2)),
+                kernel_init=xavier_uniform,
+                dtype=self.dtype,
+            )(x)
         return nn.elu(x)
 
 

@@ -39,11 +39,20 @@ class DispNetS(nn.Module):
     #   the self-sup B=64 working-set cliff is activation-bound
     #   (BASELINE.md batch sweep). Param tree is unchanged: the flag
     #   toggles freely on existing checkpoints (grad-parity tested).
+    fused_upsample: bool = False  # decoder ConvTranspose stages in
+    #   pixel-shuffle form (ops/fused_deconv.py) — exact to fp summation
+    #   order, identical param tree; DispNetS's analog of the DispResNet
+    #   fused decoder. Measured NEGATIVE on TPU (-19% e2e, BASELINE.md
+    #   round 5) — kept for study, not exposed via the registry/CLI.
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
         Down = nn.remat(DownsampleConv) if self.remat else DownsampleConv
-        Up = nn.remat(UpConvELU) if self.remat else UpConvELU
+        _Up = (nn.remat(UpConvELU) if self.remat else UpConvELU)
+
+        def Up(features, **kw):
+            return _Up(features, fused=self.fused_upsample, **kw)
+
         IConv = nn.remat(ConvELU) if self.remat else ConvELU
 
         # ---- encoder ----
