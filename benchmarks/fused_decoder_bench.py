@@ -19,7 +19,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 WARMUP, ITERS, WINDOWS = 3, 30, 3
-H, W = 128, 416
 
 
 def best_window(f, *args):
@@ -49,7 +48,10 @@ def main() -> None:
     ap.add_argument("--network", default="disp_res_50",
                     choices=["disp_res_18", "disp_res_50", "disp_vgg_bn",
                              "dispnet"])
+    ap.add_argument("--img-height", type=int, default=128)
+    ap.add_argument("--img-width", type=int, default=416)
     args = ap.parse_args()
+    H, W = args.img_height, args.img_width
 
     import jax
     import jax.numpy as jnp
@@ -75,7 +77,10 @@ def main() -> None:
     results = {"network": args.network}
     models = {"unfused": build(False), "fused": build(True)}
     train_kw = {} if args.network == "dispnet" else {"train": False}
-    variables = models["unfused"].init(rng, x)
+    # jitted init at B=1: ONE relay program instead of an RPC per op
+    # (eager init measured minutes-to-stuck through a degraded relay)
+    variables = jax.jit(models["unfused"].init)(rng, x[:1])
+    jax.block_until_ready(variables)
     if args.skip_unfused:
         del models["unfused"]
 
@@ -128,6 +133,7 @@ def main() -> None:
             print(name, "int8", results[f"int8_{name}_img_s"], flush=True)
 
     results["batch"] = B
+    results["resolution"] = f"{H}x{W}"
     print(json.dumps(results))
 
 

@@ -53,6 +53,8 @@ quality on trained checkpoints, per BASELINE.md.
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Callable
 
 import jax
@@ -236,7 +238,8 @@ def _int8_conv(module: nn.Conv, x: jax.Array, in_absmax: float,
     return out.astype(x.dtype)
 
 
-def _int8_fused_upconv(module, h, skip, ranges, baked=None):
+def _int8_fused_upconv(module, h, skip, ranges, baked=None,
+                       hq=None, h_scale=None, path=None, params=None):
     """int8 path for the fused decoder stage
     (``models/dispresnet._FusedUpConvParams``): the composed 6x6
     lhs-dilated conv runs int8-in/int8-weights directly on the HALF-res
@@ -247,25 +250,38 @@ def _int8_fused_upconv(module, h, skip, ranges, baked=None):
     (ops/fused_upconv.py) are computed in fp on 1-px strips — they cancel
     the main conv's phantom terms to within int8 rounding, which only
     touches the 1-px output ring and is inside the serving noise floor
-    (quant_bench rel-err table)."""
+    (quant_bench rel-err table).
+
+    The s8-through decoder chain (``_int8_chain_decoder_up``) calls this
+    with a pre-quantized ``(hq, h_scale)`` — the stage then never reads
+    an fp copy of ``h`` from HBM — and with ``path``/``params`` resolved
+    from the PARENT module (interception happens one level up there).
+    Returns fp32 ``y`` (bias included, pre-activation) in that case;
+    the per-stage interception path returns ``h.dtype`` as before."""
     from supervised_dispnet_tpu.ops.fused_upconv import (
         _border_conv, _strip_up_phantom, compose_upsample_kernel)
 
-    path = _conv_path(module)
-    params = module.variables["params"]
+    chained = hq is not None
+    if path is None:
+        path = _conv_path(module)
+    if params is None:
+        params = module.variables["params"]
     kernel = params["kernel"].astype(jnp.float32)
     bias = params["bias"].astype(jnp.float32)
-    ch = h.shape[-1]
+    ch = (h if h is not None else hq).shape[-1]
     kh, ks = kernel[:, :, :ch], kernel[:, :, ch:]
 
     kc = compose_upsample_kernel(kh)  # (6, 6, ch, Cout)
     wc_scale = jnp.maximum(
         jnp.max(jnp.abs(kc), axis=(0, 1, 2)), 1e-12) / 127.0
     wcq = jnp.round(kc / wc_scale).astype(jnp.int8)
-    in_scale = jnp.float32(ranges[path] / 127.0)
-    hq = jnp.round(
-        jnp.clip(h.astype(jnp.float32) / in_scale, -127.0, 127.0)
-    ).astype(jnp.int8)
+    if chained:
+        in_scale = jnp.float32(h_scale)
+    else:
+        in_scale = jnp.float32(ranges[path] / 127.0)
+        hq = jnp.round(
+            jnp.clip(h.astype(jnp.float32) / in_scale, -127.0, 127.0)
+        ).astype(jnp.int8)
     hqp = jnp.pad(hq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     # The int8 path keeps the lhs-dilated form DELIBERATELY: the
     # pixel-shuffle form's per-conv win (benchmarks/ps_probe.py, -25%)
@@ -285,7 +301,7 @@ def _int8_fused_upconv(module, h, skip, ranges, baked=None):
 
     # fp border corrections on the dequantized-equivalent input (strips)
     hf = (hq.astype(jnp.float32) * in_scale)
-    B, H, W, _ = h.shape
+    B, H, W, _ = hq.shape
     khf = kh
     corr_top = _border_conv(_strip_up_phantom(hf[:, 0]), khf[0], None)
     corr_bot = _border_conv(_strip_up_phantom(hf[:, -1]), khf[2], None)
@@ -319,7 +335,8 @@ def _int8_fused_upconv(module, h, skip, ranges, baked=None):
             sq, wsq, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dns,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * (s_scale * ws_scale)
-    return (y + bias).astype(h.dtype)
+    y = y + bias
+    return y if chained else y.astype(h.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -595,13 +612,145 @@ def _int8_chain_downsample(block, x, ranges, baked=None):
     return y.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# s8-through decoder chain (round 5)
+#
+# With the fused decoder, the per-stage int8 path still hands activations
+# between decoder stages as fp in HBM: upconv{i}_0's epilogue dequantizes
+# + ELUs + writes bf16, then upconv{i}_1 reads that bf16 back only to
+# requantize it to int8 (and again between upconv{i}_1 and upconv{i-1}_0).
+# The chain below requantizes INSIDE each stage's epilogue instead —
+# dequant + bias + ELU + requant fuse into the conv (all elementwise, the
+# same pattern the round-3 encoder chains proved writes int8 to HBM) — so
+# decoder activations cross HBM as int8. The handoff rides ``_QAct``
+# (int8 tensor + its scale) through the model code between stages; every
+# consumer in the fused DispResNet decoder is itself intercepted
+# (upconv{i}_0 -> upconv{i}_1 -> upconv{i-1}_0, disp heads), and any
+# unanticipated consumer dequantizes via ``astype``/``__jax_array__``
+# rather than failing. Requant targets reuse the NEXT conv's calibrated
+# input range — it is literally the same tensor — so existing
+# calibrations activate the chain with no new keys. The final full-res
+# stage (upconv0_1) has no next conv and returns fp for the disp head.
+#
+# Scoped to DispResNet's fused decoder: there the ELU lives inside the
+# intercepted parents (_ConvELU3 / _FusedUpConvELU3). DispVggBN applies
+# ELU inline in model code (models/disp_vgg_bn.py::up_block), so it keeps
+# the per-stage fused path (safe fallback, measured +41% in round 4).
+# ---------------------------------------------------------------------------
+
+_DEC_NAME = re.compile(r"upconv(\d+)_([01])")
+
+
+class _QAct:
+    """int8 activation + its symmetric scale + the fp dtype it replaced,
+    threaded between decoder stages by the s8-through chain. Quacks
+    enough like an array for the model code between stages
+    (``.shape``/``.dtype``/``.astype``); anything else dequantizes via
+    ``__jax_array__`` instead of failing."""
+
+    __slots__ = ("q", "scale", "fp_dtype")
+
+    def __init__(self, q, scale, fp_dtype):
+        self.q = q
+        self.scale = scale
+        self.fp_dtype = fp_dtype
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.fp_dtype
+
+    def dequant(self, dt=None):
+        return (self.q.astype(jnp.float32) * self.scale).astype(
+            dt if dt is not None else self.fp_dtype)
+
+    def astype(self, dt):
+        return self.dequant(dt)
+
+    def __jax_array__(self):
+        return self.dequant()
+
+
+def _decoder_chain_keys() -> list[str]:
+    """Calibration keys the DispResNet decoder chain needs (all already
+    produced by any fused-model calibration — per-conv keys for
+    upconv{i}_0, fused h/skip keys for upconv{i}_1)."""
+    keys = []
+    for i in range(5):
+        keys += [f"upconv{i}_0/Conv_0", f"upconv{i}_1/Conv_0"]
+        if i > 0:
+            keys.append(f"upconv{i}_1/Conv_0::skip")
+    return keys
+
+
+def _decoder_chain_ready(model, ranges) -> bool:
+    """Engage only for a top-level fused DispResNet whose calibration
+    carries every key (nested/renamed modules fall back per-stage)."""
+    if not getattr(model, "fused_upsample", False):
+        return False
+    if type(model).__name__ != "DispResNet":
+        return False
+    return all(k in ranges for k in _decoder_chain_keys())
+
+
+def _int8_chain_dec_conv(module, x, ranges, out_range, baked=None):
+    """upconv{i}_0 (conv3x3 + ELU) with the s8 epilogue: dequant + bias +
+    ELU + requant-to-next-stage-range fuse into the conv, so the fp
+    activation never exists in HBM. Input is the previous stage's
+    ``_QAct`` (or fp for the first stage, quantized with this conv's own
+    calibrated range — identical grid to the per-conv path)."""
+    key = _module_key(module)("Conv_0")
+    if baked is not None and key in baked:
+        # bake_int8_weights' per-conv entry (wq, w_scale, bias) is the
+        # identical grid _conv_eff(fold_bn=True) computes — reuse it so a
+        # baked export never reads the decoder's fp32 kernels either
+        wq, ws, b = (jnp.asarray(a) for a in baked[key])
+    else:
+        wq, ws, b = _conv_eff(module.variables["params"], {}, "Conv_0",
+                              None, fold_bn=True)
+    if isinstance(x, _QAct):
+        xq, s_in, dt = x.q, x.scale, x.fp_dtype
+    else:
+        xq, s_in = _quantize_fp(x, ranges[key])
+        dt = x.dtype
+    yq, s_o = _requant(_conv_q(xq, wq, 1, 1), s_in * ws, b, out_range,
+                       act="elu")
+    return _QAct(yq, s_o, dt)
+
+
+def _int8_chain_dec_fused(module, h, skip, ranges, next_range):
+    """upconv{i}_1 (fused upsample-conv + skip conv + ELU): the composed
+    6x6 lhs-dilated conv consumes the already-int8 ``h`` directly
+    (``_int8_fused_upconv``'s chained form — no fp copy of ``h`` is ever
+    read), then ELU + requant to the next stage's range in the epilogue.
+    The final full-res stage (``next_range is None``) returns fp for the
+    disparity head."""
+    y = _int8_fused_upconv(
+        None, None, skip, ranges, hq=h.q, h_scale=h.scale,
+        path=_module_key(module)("Conv_0"),
+        params=module.variables["params"]["Conv_0"])
+    y = jax.nn.elu(y)
+    if next_range is None:
+        return y.astype(h.fp_dtype)
+    s_o = jnp.float32(next_range / 127.0)
+    yq = jnp.clip(jnp.round(y / s_o), -127.0, 127.0).astype(jnp.int8)
+    return _QAct(yq, s_o, h.fp_dtype)
+
+
 def _bf16_disp_head(module, x):
     """DispHead serving epilogue for the quantized path: the training-time
     head casts its INPUT to fp32 (models/common.py::DispHead), which at
     full resolution materializes ~0.9 GB/step of fp32 activations. For
     serving, run the 3x3 conv in bf16 (input stays bf16) and keep only the
     1-channel sigmoid/scale math in fp32 — the quality cost is inside the
-    int8 noise floor (quant_bench rel-err table)."""
+    int8 noise floor (quant_bench rel-err table). Under the s8-through
+    decoder chain the input arrives as ``_QAct``; the dequant is
+    elementwise and feeds the conv's bf16 input directly."""
+    if isinstance(x, _QAct):
+        x = x.dequant(jnp.bfloat16)
     p = module.variables["params"]["Conv_0"]
     w = p["kernel"].astype(jnp.bfloat16)
     xb = x.astype(jnp.bfloat16)
@@ -874,17 +1023,42 @@ def quantized_apply(
     the encoder blocks run as fused int8-in/int8-out chains instead of
     per-conv interception: ResNet encoders need the round-3 block-output
     calibration keys (``::out``); VGG stages and DispNetS DownsampleConv
-    blocks chain off per-conv keys alone. Passing any ``exempt``
-    predicate (even ``lambda m: False``) forces the per-conv path.
+    blocks chain off per-conv keys alone. A fused-decoder DispResNet
+    additionally runs the round-5 s8-through decoder chain (activations
+    cross HBM as int8 between decoder stages; no extra keys). Passing
+    any ``exempt`` predicate (even ``lambda m: False``) forces the
+    per-conv/per-stage path.
     ``baked`` (from :func:`bake_int8_weights`) supplies pre-quantized
     weights so a traced export never reads the fp32 kernels.
     """
     from supervised_dispnet_tpu.models.common import DispHead, DownsampleConv
     from supervised_dispnet_tpu.models.disp_vgg_bn import _VGGStage
+    from supervised_dispnet_tpu.models.dispresnet import (
+        _ConvELU3, _FusedUpConvELU3)
     from supervised_dispnet_tpu.models.resnet import ResNetEncoder
+
+    # DISPNET_TPU_DEC_CHAIN=0 disables ONLY the decoder chain (keeps the
+    # encoder chains + per-stage fused path) — the A/B isolation knob for
+    # benchmarks; read at trace time like DISPNET_TPU_PS_FORM
+    dec_chain = (exempt is None
+                 and os.environ.get("DISPNET_TPU_DEC_CHAIN", "1") != "0"
+                 and _decoder_chain_ready(model, ranges))
 
     def q_interceptor(next_fun, fargs, fkwargs, context):
         train = fkwargs.get("train", fargs[1] if len(fargs) > 1 else False)
+        if dec_chain and context.method_name == "__call__":
+            mod = context.module
+            m = (_DEC_NAME.fullmatch(mod.path[-1]) if mod.path else None)
+            if m is not None and type(mod) is _ConvELU3 and m.group(2) == "0":
+                i = int(m.group(1))
+                return _int8_chain_dec_conv(
+                    mod, fargs[0], ranges,
+                    out_range=ranges[f"upconv{i}_1/Conv_0"], baked=baked)
+            if m is not None and type(mod) is _FusedUpConvELU3:
+                i = int(m.group(1))
+                skip = fargs[1] if len(fargs) > 1 else fkwargs.get("skip")
+                nxt = (ranges[f"upconv{i - 1}_0/Conv_0"] if i > 0 else None)
+                return _int8_chain_dec_fused(mod, fargs[0], skip, ranges, nxt)
         if (type(context.module) is ResNetEncoder
                 and context.method_name == "__call__"
                 and exempt is None

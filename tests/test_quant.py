@@ -462,6 +462,75 @@ def test_fused_upsample_int8_close_to_fp_and_unfused_int8():
     assert np.median(rel) < max(2.5 * np.median(rel_un), 0.02)
 
 
+def test_decoder_chain_parity_dispresnet():
+    """Round-5 s8-through decoder chain: with a fused DispResNet and a
+    full calibration, decoder activations cross HBM as int8 (dequant +
+    ELU + requant fused into each stage's epilogue). The chain must (a)
+    engage (``_decoder_chain_ready``), (b) stay at the serving noise
+    floor vs fp, and (c) agree with the forced per-stage path to within
+    the bf16-handoff rounding it eliminates."""
+    from supervised_dispnet_tpu.ops.quant import _decoder_chain_ready
+
+    m_fp = DispResNet(encoder_depth=18)
+    m_fu = DispResNet(encoder_depth=18, fused_upsample=True)
+    rng = jax.random.PRNGKey(21)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    v = m_fp.init(rng, x)
+
+    r_fu = calibrate_conv_ranges(m_fu, v, [x])
+    assert _decoder_chain_ready(m_fu, r_fu)
+    assert not _decoder_chain_ready(m_fp, calibrate_conv_ranges(
+        m_fp, v, [x])), "unfused model must not engage the decoder chain"
+
+    fp = np.asarray(m_fp.apply(v, x, train=False)[0])
+    q_chain = np.asarray(jax.jit(
+        lambda vv, xx: quantized_apply(m_fu, vv, xx, ranges=r_fu)
+    )(v, x)[0])
+    rel = np.abs(q_chain - fp) / np.abs(fp)
+    assert np.median(rel) < 0.02 and rel.max() < 0.2
+
+    # forced per-stage path (any exempt predicate disables chains but
+    # keeps per-conv + per-stage fused int8): same grids, so the only
+    # difference is the fp handoff rounding the chain removes
+    q_ps = np.asarray(jax.jit(
+        lambda vv, xx: quantized_apply(m_fu, vv, xx, ranges=r_fu,
+                                       exempt=lambda m: False)
+    )(v, x)[0])
+    rel_ps = np.abs(q_ps - q_chain) / np.maximum(np.abs(q_chain), 1e-6)
+    assert np.median(rel_ps) < 0.02
+
+
+def test_decoder_chain_multiscale_heads_and_classification():
+    """All four disp heads consume the chain's _QAct handoffs (scales
+    1-3) or the final fp stage (scale 0); the classification variant's
+    ``astype(float32)`` dequant also composes."""
+    m_fu = DispResNet(encoder_depth=18, fused_upsample=True)
+    rng = jax.random.PRNGKey(22)
+    x = jax.random.uniform(rng, (2, H, W, 3), jnp.float32)
+    v = m_fu.init(rng, x)
+    r = calibrate_conv_ranges(m_fu, v, [x])
+    fp = m_fu.apply(v, x, train=False)
+    q = quantized_apply(m_fu, v, x, ranges=r)
+    for s in range(4):
+        fps, qs = np.asarray(fp[s]), np.asarray(q[s])
+        assert qs.shape == fps.shape
+        rel = np.abs(qs - fps) / np.abs(fps)
+        assert np.median(rel) < 0.03, f"scale {s}"
+
+    m_cls = DispResNet(encoder_depth=18, fused_upsample=True,
+                       head="classification", num_bins=8,
+                       multiscale_classification=True)
+    v_cls = m_cls.init(rng, x)
+    r_cls = calibrate_conv_ranges(m_cls, v_cls, [x])
+    fp_cls = m_cls.apply(v_cls, x, train=False)
+    q_cls = quantized_apply(m_cls, v_cls, x, ranges=r_cls)
+    for s in range(4):
+        assert np.asarray(q_cls[s]).shape == np.asarray(fp_cls[s]).shape
+        err = np.abs(np.asarray(q_cls[s]) - np.asarray(fp_cls[s]))
+        scale = np.abs(np.asarray(fp_cls[s])).max()
+        assert np.median(err) < 0.05 * scale, f"cls scale {s}"
+
+
 def test_dispvgg_fused_upsample_int8_close_to_fp():
     """DispVggBN fused_upsample through the int8 path: the shared
     _FusedUpConvParams interception engages (per-stage h + ::skip
