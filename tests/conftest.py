@@ -49,6 +49,10 @@ _STANDARD_SLOW_DENYLIST = {
     "test_photometric_batched_refs_loss_and_grads_equal",
     "test_photometric_remat_loss_and_grads_equal",
     "test_dispresnet_fused_upsample_grad_parity",
+    # round 5: two full fused-model compiles + classification variant —
+    # the core chain parity test (test_decoder_chain_parity_dispresnet)
+    # carries the standard-tier coverage
+    "test_decoder_chain_multiscale_heads_and_classification",
 }
 
 
