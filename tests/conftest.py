@@ -43,6 +43,7 @@ _STANDARD_MODULES = {
     "test_quant",               # int8 PTQ/QAT/chain parity
     "test_augment",             # aug semantics + intrinsics rescale
     "test_accum",               # gradient accumulation parity
+    "test_serving",             # online micro-batching parity (round 5)
 }
 _STANDARD_SLOW_DENYLIST = {
     # full-model backward compiles measured >=40 s each (see f6171e2)
