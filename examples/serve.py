@@ -114,6 +114,8 @@ def main() -> None:
                 self.wfile.write(body)
             except ValueError as e:
                 self.send_error(400, str(e))
+            except RuntimeError as e:  # queue full -> shed load
+                self.send_error(503, str(e))
             except Exception as e:  # noqa: BLE001
                 self.send_error(500, repr(e))
 

@@ -50,6 +50,7 @@ class ServingConfig:
     img_width: int = 416
     buckets: tuple[int, ...] = (1, 8, 64)
     max_wait_ms: float = 2.0
+    max_queue: int = 1024  # backpressure: submit() raises when exceeded
     int8: bool = False
     percentile: float | None = 99.9
     imagenet_normalization: bool = False
@@ -96,7 +97,8 @@ class DepthService:
         self.config = config
         self._model = model
         self._variables = variables
-        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._queue: queue.Queue[_Request | None] = queue.Queue(
+            maxsize=config.max_queue)
         self._thread: threading.Thread | None = None
         self._mean = (IMAGENET_MEAN if config.imagenet_normalization
                       else HALF_MEAN)
@@ -236,7 +238,15 @@ class DepthService:
             raise ValueError(f"expected ({H}, {W}, 3) image, got "
                              f"{image.shape}")
         req = _Request(image)
-        self._queue.put(req)
+        try:
+            # non-blocking: overload surfaces as an immediate error the
+            # caller can convert to HTTP 503 / load-shed, instead of
+            # unbounded queue growth and silent SLO collapse
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise RuntimeError(
+                f"serving queue full ({self.config.max_queue} pending); "
+                "shed load or raise ServingConfig.max_queue") from None
         return req.future
 
     def start(self) -> "DepthService":
@@ -250,7 +260,12 @@ class DepthService:
     def stop(self) -> None:
         if self._thread is None:
             return
-        self._queue.put(None)
+        while True:
+            try:
+                self._queue.put(None, timeout=1.0)
+                break
+            except queue.Full:  # drain pressure; dispatcher is consuming
+                continue
         self._thread.join()
         self._thread = None
 

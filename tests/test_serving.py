@@ -165,3 +165,16 @@ def test_stop_mid_queue_resolves_current_batch():
     with svc:
         f = svc.submit(rng.random((H, W, 3), np.float32))
         assert f.result(timeout=60.0).shape == (H, W)
+
+
+def test_backpressure_queue_full():
+    """Overload surfaces as an immediate RuntimeError, not queue growth."""
+    svc, _, _ = _service(max_queue=2)
+    # started but the dispatcher is intentionally NOT running: start()
+    # then immediately saturate from this thread before it can drain
+    svc._thread = threading.Thread(target=lambda: None)  # mark "started"
+    img = np.zeros((H, W, 3), np.float32)
+    svc.submit(img)
+    svc.submit(img)
+    with pytest.raises(RuntimeError, match="queue full"):
+        svc.submit(img)
