@@ -13,6 +13,10 @@ dispatches); latency = window_time / iters. This is pure device step time
 — host<->TPU transport is excluded (it is relay-tunnel-specific here and
 not representative of a production host link).
 
+Companion: benchmarks/serving_latency.py (round 3) measures the
+end-to-end wall view including the tunnel round trip, with p50/p95/p99;
+this file isolates the device so the numbers transfer to any host link.
+
 Usage: python benchmarks/latency_bench.py [--iters 64] [--batches 1,8,64,256]
 Emits one JSON line, and a markdown table on stderr for BASELINE.md.
 """

@@ -10,6 +10,11 @@ eval loop (SURVEY.md §1 L6, test_disp.py::main); this is the TPU-native
 equivalent measurement. On a tunneled chip the readback RTT is part of
 every sample — reported separately via the no-op round-trip baseline.
 
+Companion: benchmarks/latency_bench.py measures the ON-DEVICE step
+latency (serial-chain protocol, transport excluded) across the bf16/int8
+batch sweep — the BASELINE.md round-5 "serving latency curve" numbers.
+This file measures the end-to-end wall view including the tunnel RTT.
+
 Run on TPU:  python benchmarks/serving_latency.py [--int8] [--iters 50]
 Prints one JSON line per batch size.
 """
