@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--bf16-grads", action="store_true",
                     help="cast gradients to bf16 before Adam (precision "
                          "probe — VERDICT r2 item 6)")
+    ap.add_argument("--cost-analysis", action="store_true",
+                    help="print XLA cost analysis (flops, bytes accessed) "
+                         "of the compiled step + roofline vs measured rate")
     ap.add_argument("--bf16-opt-state", action="store_true",
                     help="store Adam's first moment in bf16 (mu_dtype)")
     ap.add_argument("--fused-upsample", action="store_true",
@@ -146,6 +149,18 @@ def main() -> None:
     stats = jax.local_devices()[0].memory_stats() or {}
     if "peak_bytes_in_use" in stats:
         result["peak_hbm_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    if args.cost_analysis:
+        try:
+            ca = step.lower(state, batch).compile().cost_analysis() or {}
+            flops = float(ca.get("flops", 0.0))
+            byts = float(ca.get("bytes accessed", 0.0))
+            step_s = dt / args.iters
+            result["cost_gflops_per_step"] = round(flops / 1e9, 1)
+            result["cost_gb_per_step"] = round(byts / 1e9, 2)
+            result["achieved_tflops_per_sec"] = round(flops / step_s / 1e12, 1)
+            result["achieved_gb_per_sec"] = round(byts / step_s / 1e9, 1)
+        except Exception as e:  # cost analysis is best-effort per backend
+            result["cost_analysis_error"] = repr(e)
     print(json.dumps(result))
 
 
