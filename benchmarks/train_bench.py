@@ -33,7 +33,8 @@ def main() -> None:
                     help="evaluate the photometric loss at every N-th pixel "
                          "per axis with a random per-step phase (unbiased; "
                          "cuts warp gather indices N^2-fold; 1 = off)")
-    ap.add_argument("--remat", action="store_true",
+    ap.add_argument("--remat", nargs="?", const=True, default=False,
+                    choices=[True, False, "full", "conv"],
                     help="activation checkpointing on the disp net (the "
                          "B=64 self-sup HBM-cliff probe: sweep --batch "
                          "with/without this flag)")

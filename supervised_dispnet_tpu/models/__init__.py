@@ -27,7 +27,7 @@ _REGISTRY = {
 
 def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
                  multiscale_classification: bool = False,
-                 remat: bool = False, fused_upsample: bool = False) -> nn.Module:
+                 remat: bool | str = False, fused_upsample: bool = False) -> nn.Module:
     """Build a disparity/depth network by its ``--network`` name."""
     key = name.lower()
     if key not in _REGISTRY:
@@ -39,7 +39,7 @@ def get_disp_net(name: str, head: str = "disp", num_bins: int = 64,
     elif head != "disp":
         raise ValueError(f"classification head is only supported on disp_res*, got {name!r}")
     if remat:
-        kw["remat"] = True
+        kw["remat"] = remat  # True/'full' or 'conv' (selective policy)
     if fused_upsample:
         if not (key.startswith("disp_res") or key == "disp_vgg_bn"):
             # dispnet's analog (pixel-shuffle ConvTranspose,

@@ -20,6 +20,33 @@ DISP_BETA = 0.01
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
+def _save_convs_policy(prim, *_, **__):
+    """jax.checkpoint policy for ``remat='conv'``: conv/matmul outputs are
+    saveable residuals; everything else (BN, ELU, adds) is recomputed in
+    the backward pass. Hypothesis (from the round-5 training closure: the
+    step is HBM-bound at ~100% of nominal roofline): dropping the saved
+    elementwise activations cuts the dominant traffic term while avoiding
+    full remat's conv re-execution (measured NEGATIVE, round 4).
+
+    MEASURED NEGATIVE TOO (BASELINE.md round-5 training closure, -8.3%
+    at B=128 with bytes/step UP 67.2->75.9 GB): XLA's default autodiff
+    residual selection already recomputes cheap elementwise tails inside
+    backward fusions where profitable; forcing the policy materializes
+    the recompute instead. Kept as a measured knob (grad-parity tested),
+    not a recommendation."""
+    return prim.name in ("conv_general_dilated", "dot_general")
+
+
+def remat_wrap(cls, remat, static_argnums=()):
+    """``remat`` falsy -> ``cls`` unchanged; ``True``/``'full'`` ->
+    ``nn.remat`` with the default save-nothing policy; ``'conv'`` ->
+    ``nn.remat`` saving conv outputs only (see ``_save_convs_policy``)."""
+    if not remat:
+        return cls
+    policy = _save_convs_policy if remat == "conv" else None
+    return nn.remat(cls, static_argnums=static_argnums, policy=policy)
+
+
 def model_takes_train(model) -> bool:
     """Whether the model's ``__call__`` accepts a ``train=`` kwarg
     (BN-bearing models do; plain conv+ELU ones don't). Signature-based so

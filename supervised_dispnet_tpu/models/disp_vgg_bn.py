@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from supervised_dispnet_tpu.models.common import DispHead, xavier_uniform
+from supervised_dispnet_tpu.models.common import DispHead, remat_wrap, xavier_uniform
 from supervised_dispnet_tpu.models.dispresnet import _FusedUpConvParams
 from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
@@ -50,8 +50,7 @@ class DispVggBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        stage_cls = (nn.remat(_VGGStage, static_argnums=(2,))
-                     if self.remat else _VGGStage)
+        stage_cls = remat_wrap(_VGGStage, self.remat, static_argnums=(2,))
         feats = []
         h = x
         for s, widths in enumerate(VGG16_STAGES):

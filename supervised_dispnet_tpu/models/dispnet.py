@@ -20,6 +20,7 @@ from supervised_dispnet_tpu.models.common import (
     UpConvELU,
     DispHead,
     crop_like,
+    remat_wrap,
 )
 from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
@@ -47,13 +48,13 @@ class DispNetS(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
-        Down = nn.remat(DownsampleConv) if self.remat else DownsampleConv
-        _Up = (nn.remat(UpConvELU) if self.remat else UpConvELU)
+        Down = remat_wrap(DownsampleConv, self.remat)
+        _Up = remat_wrap(UpConvELU, self.remat)
 
         def Up(features, **kw):
             return _Up(features, fused=self.fused_upsample, **kw)
 
-        IConv = nn.remat(ConvELU) if self.remat else ConvELU
+        IConv = remat_wrap(ConvELU, self.remat)
 
         # ---- encoder ----
         feats = []

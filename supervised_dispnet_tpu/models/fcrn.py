@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import flax.linen as nn
 
-from supervised_dispnet_tpu.models.common import xavier_uniform
+from supervised_dispnet_tpu.models.common import remat_wrap, xavier_uniform
 from supervised_dispnet_tpu.models.resnet import ResNetEncoder
 from supervised_dispnet_tpu.ops.resize import resize_bilinear
 
@@ -62,8 +62,7 @@ class FCRN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        up_cls = (nn.remat(UpProjection, static_argnums=(2,))
-                  if self.remat else UpProjection)
+        up_cls = remat_wrap(UpProjection, self.remat, static_argnums=(2,))
         enc = ResNetEncoder(self.encoder_depth, remat=self.remat,
                             name="encoder")(x, train=train)
         h = enc[-1]  # stride 32

@@ -14,6 +14,8 @@ from typing import Sequence
 import jax
 import flax.linen as nn
 
+from supervised_dispnet_tpu.models.common import remat_wrap
+
 kaiming_normal = nn.initializers.kaiming_normal()
 
 
@@ -94,7 +96,9 @@ class ResNetEncoder(nn.Module):
 
     depth: int = 18
     dtype: object = None
-    remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
+    remat: bool | str = False  # jax.checkpoint each block: True/'full'
+    #   recomputes everything (FLOPs for HBM); 'conv' saves conv outputs
+    #   and recomputes only the elementwise tail (HBM for ~free FLOPs)
     fold_bn: bool = False  # inference: BN absorbed (see utils/fold_bn.py)
 
     @property
@@ -104,8 +108,7 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> list[jax.Array]:
         block_cls, stage_sizes, _ = RESNET_SPECS[self.depth]
-        if self.remat:
-            block_cls = nn.remat(block_cls, static_argnums=(2,))
+        block_cls = remat_wrap(block_cls, self.remat, static_argnums=(2,))
         feats = []
         h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=self.fold_bn,
                     kernel_init=kaiming_normal, dtype=self.dtype, name="conv1")(x)

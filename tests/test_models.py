@@ -311,3 +311,26 @@ def test_dispresnet_fused_upsample_classification_head():
     np.testing.assert_allclose(
         np.asarray(m0.apply(v, x, train=False)),
         np.asarray(m1.apply(v, x, train=False)), rtol=1e-4, atol=1e-5)
+
+
+def test_remat_conv_policy_grads_equal():
+    """remat='conv' (save conv outputs, recompute elementwise) must not
+    change gradients either — it only changes WHICH residuals are saved.
+    Measured NEGATIVE for throughput on TPU (BASELINE.md round-5 training
+    closure); kept as a knob, so its numerics stay guarded here."""
+    x = _img(seed=17)
+    m0 = DispResNet(encoder_depth=18)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    m1 = DispResNet(encoder_depth=18, remat="conv")
+    assert jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x)["params"]
+    ) == jax.tree_util.tree_structure(v["params"])
+
+    def loss(m, p):
+        return jnp.mean(m.apply({**v, "params": p}, x, train=False)[0])
+
+    g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v["params"]))
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
