@@ -95,13 +95,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bf16 trunk compute (params/heads fp32); the "
                         "configuration the headline TPU numbers use")
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", nargs="?", const=True, default=False,
+                   choices=["full", "conv"],
                    help="activation checkpointing (jax.checkpoint) on the "
                         "disp net's conv stages: recompute intra-stage "
                         "activations in the backward pass instead of "
                         "holding them in HBM — raises the batch size the "
                         "working set allows (the self-sup B=64 cliff is "
-                        "activation-bound); all --network choices")
+                        "activation-bound); all --network choices. "
+                        "Bare --remat (= 'full') recomputes everything; "
+                        "'conv' saves conv outputs and recomputes only "
+                        "elementwise tails (both measured NEGATIVE for "
+                        "throughput at 128x416 — use only when memory-"
+                        "bound, e.g. full-resolution: BASELINE.md)")
     p.add_argument("--fused-upsample", action="store_true",
                    help="build the disp net's decoder with each 2x "
                         "upsample composed into the following conv (one "

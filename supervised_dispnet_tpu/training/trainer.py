@@ -73,7 +73,7 @@ class TrainerConfig:
     stochastic_photo: int = 1  # --stochastic-photo N: photometric term on
     #   a random-phase 1/N^2 pixel subset per step (unbiased estimator;
     #   deviation from the reference loss, losses/selfsup.py)
-    remat: bool = False  # --remat: the model is built with activation
+    remat: bool | str = False  # --remat: the model is built with activation
     #   checkpointing by the CLI; this mirrors the flag so the self-sup
     #   step also checkpoints each (scale, ref) photometric term
     use_pallas_losses: bool = False  # fused Pallas loss reduction kernels
