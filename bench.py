@@ -219,7 +219,13 @@ def main() -> None:
     int8_images_per_sec = None
     int8_windows: list[float] = []
     forward_q = None
-    int8_skip = _remaining() < min(240.0, bf16_done_s) + 1.5 * dt
+    # Gate estimate re-based round 5 from measured ticks (healthy relay,
+    # 2026-08-20: bf16 phase 78 s total, int8 phase 38 s — the model-init
+    # compile is shared, so int8 costs ~0.5x the bf16 phase, not 1.0x).
+    # 0.6x leaves margin; the floor covers a healthy-relay attempt. If the
+    # attempt still overruns the budget, the watchdog thread emits the
+    # bf16-only partial at BUDGET_S + grace — attempting is artifact-safe.
+    int8_skip = _remaining() < max(45.0, 0.6 * bf16_done_s) + 1.5 * dt
     if int8_skip:
         print(f"WARNING: bench budget: skipping int8 path "
               f"(+{time.monotonic() - T0:.0f}s elapsed of {BUDGET_S:.0f}s)",
