@@ -79,7 +79,10 @@ WINDOWS = 3
 
 # Relay latency can also degrade by minutes-per-compile (observed
 # 2026-08-19: a 2-op matmul probe took 3m10s wall, ~2s CPU — pure RPC
-# wait). The bench must still emit its one JSON line inside the driver's
+# wait). The persistent compile cache does NOT mitigate this (measured
+# 2026-08-21: identical program, cache entry present and key stable, the
+# second process still took 142 s vs 52 s for the first — relay-side
+# state dominates over the local executable cache on this backend). The bench must still emit its one JSON line inside the driver's
 # window, so: (a) a soft wall budget gates optional work, (b)
 # SIGTERM/SIGINT print the best result-so-far before exiting, and (c) a
 # watchdog thread emits the partial result if the budget is blown while
